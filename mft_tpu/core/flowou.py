@@ -1,0 +1,205 @@
+"""FlowOU: the (flow, occlusion, sigma) value type and its geometric algebra.
+
+TPU-first re-design of the reference's ``FlowOUTrackingResult``
+(MFT/results.py:11-265). Differences from the reference by design:
+
+- channel-last layout: flow (H, W, 2), occlusion (H, W), sigma (H, W)
+  (reference: channel-first (2,H,W)/(1,H,W) torch tensors);
+- a frozen pytree dataclass, so a FlowOU flows through jit/vmap/scan
+  unchanged — there is no .cpu()/.cuda() device juggling;
+- all ops are pure functions (also exposed as methods) that fuse under jit.
+
+Numeric semantics are kept exactly:
+- ``chain_flow``: flow composition by bilinear resampling at flow endpoints
+  (reference MFT/results.py:87-114, align_corners=True, zeros padding);
+- ``chain_results``: occlusion = max(o_AB, warp_back(o_BC)),
+  sigma = sqrt(s_AB^2 + warp_back(s_BC)^2) (reference MFT/MFT.py:233-239);
+- ``invalid_mask``: endpoint outside [0, W) x [0, H) (MFT/results.py:250-265).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mft_tpu.core.coords import grid_coords
+from mft_tpu.core.interp import bilinear_sample, warp_forward_image
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["flow", "occlusion", "sigma"], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class FlowOU:
+    """Dense flow field with per-pixel occlusion probability and sigma.
+
+    flow: (H, W, 2) float array, last axis (dx, dy)
+    occlusion: (H, W) float array in [0, 1]
+    sigma: (H, W) float array, >= 0
+    """
+
+    flow: jnp.ndarray
+    occlusion: jnp.ndarray
+    sigma: jnp.ndarray
+
+    @property
+    def H(self) -> int:
+        return self.flow.shape[0]
+
+    @property
+    def W(self) -> int:
+        return self.flow.shape[1]
+
+    # -- geometric ops (delegate to the pure functions below) ---------------
+    def chain(self, flow_bc: jnp.ndarray) -> jnp.ndarray:
+        return chain_flow(self.flow, flow_bc)
+
+    def warp_backward(self, img: jnp.ndarray) -> jnp.ndarray:
+        return warp_backward(self.flow, img)
+
+    def warp_forward_points(self, points: jnp.ndarray) -> jnp.ndarray:
+        return warp_forward_points(self.flow, points)
+
+    def sample(self, points: jnp.ndarray):
+        return sample_flowou(self, points)
+
+    def warp_forward(self, img, mask=None, border=None):
+        return warp_forward_image(img, self.flow, mask=mask, border=border)
+
+    def invalid_mask(self) -> jnp.ndarray:
+        return invalid_mask(self.flow)
+
+    # -- io ------------------------------------------------------------------
+    def write(self, path):
+        import numpy as np
+        from mft_tpu.io import flowou_codecs
+        flowou_codecs.write_flowou(
+            path, np.asarray(self.flow), np.asarray(self.occlusion),
+            np.asarray(self.sigma))
+
+    @classmethod
+    def read(cls, path) -> "FlowOU":
+        from mft_tpu.io import flowou_codecs
+        flow, occl, sigma = flowou_codecs.read_flowou(path)
+        return cls(jnp.asarray(flow), jnp.asarray(occl), jnp.asarray(sigma))
+
+
+def identity_flowou(shape, dtype=jnp.float32) -> FlowOU:
+    """Zero-motion, zero-occlusion, zero-sigma FlowOU of spatial ``shape`` (H, W).
+
+    Reference parity: MFT/results.py:74-85 (identity).
+    """
+    H, W = shape
+    return FlowOU(
+        flow=jnp.zeros((H, W, 2), dtype),
+        occlusion=jnp.zeros((H, W), dtype),
+        sigma=jnp.zeros((H, W), dtype),
+    )
+
+
+def chain_flow(flow_ab: jnp.ndarray, flow_bc: jnp.ndarray) -> jnp.ndarray:
+    """Compose flows: A->B then B->C gives A->C.
+
+    flow_AC(p) = flow_AB(p) + flow_BC(p + flow_AB(p)), with the B->C flow
+    bilinearly sampled at the A->B endpoints (zeros outside the image).
+
+    Reference parity: MFT/results.py:87-114 (chain).
+    """
+    H, W = flow_ab.shape[0], flow_ab.shape[1]
+    coords_b = grid_coords(H, W) + flow_ab.astype(jnp.float32)
+    sampled_bc = bilinear_sample(flow_bc.astype(jnp.float32), coords_b)
+    return flow_ab + sampled_bc
+
+
+def warp_backward(flow: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarray:
+    """Sample ``img`` at the flow endpoints (backward warping).
+
+    args:
+      flow: (H, W, 2)
+      img: (H, W) or (H, W, C)
+
+    returns: same rank as ``img``.
+
+    Reference parity: MFT/results.py:116-136 (warp_backward).
+    """
+    H, W = flow.shape[0], flow.shape[1]
+    coords_b = grid_coords(H, W) + flow.astype(jnp.float32)
+    squeeze = img.ndim == 2
+    data = img[..., None] if squeeze else img
+    out = bilinear_sample(data.astype(jnp.float32), coords_b)
+    return out[..., 0] if squeeze else out
+
+
+def warp_forward_points(flow: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Warp sparse (N, 2) query points by the dense flow.
+
+    The flow is bilinearly sampled AT the query points and added to them.
+
+    Reference parity: MFT/results.py:138-157 (warp_forward_points).
+    """
+    sampled = bilinear_sample(flow.astype(jnp.float32), points.astype(jnp.float32))
+    return points.astype(jnp.float32) + sampled
+
+
+def sample_flowou(result: FlowOU, points: jnp.ndarray):
+    """Sample flow, occlusion and sigma at (N, 2) query points.
+
+    returns: flow (N, 2), occlusion (N,), sigma (N,).
+
+    Reference parity: MFT/results.py:159-188 (sample).
+    """
+    pts = points.astype(jnp.float32)
+    flow_s = bilinear_sample(result.flow.astype(jnp.float32), pts)
+    occl_s = bilinear_sample(result.occlusion[..., None].astype(jnp.float32), pts)[..., 0]
+    sigma_s = bilinear_sample(result.sigma[..., None].astype(jnp.float32), pts)[..., 0]
+    return flow_s, occl_s, sigma_s
+
+
+def invalid_mask(flow: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) bool mask of flows whose endpoint leaves [0, W) x [0, H).
+
+    Reference parity: MFT/results.py:250-265 (invalid_mask).
+    """
+    H, W = flow.shape[0], flow.shape[1]
+    coords_b = grid_coords(H, W) + flow.astype(jnp.float32)
+    return (
+        (coords_b[..., 0] < 0)
+        | (coords_b[..., 1] < 0)
+        | (coords_b[..., 0] >= W)
+        | (coords_b[..., 1] >= H)
+    )
+
+
+def chain_results(left: FlowOU, right: FlowOU) -> FlowOU:
+    """Chain two FlowOU results: template->left composed with left->right.
+
+    flow: bilinear composition; occlusion: max of left and back-warped right;
+    sigma: root-sum-square of left and back-warped right.
+
+    Reference parity: MFT/MFT.py:233-239 (chain_results).
+    """
+    flow = chain_flow(left.flow, right.flow)
+    occl = jnp.maximum(left.occlusion, warp_backward(left.flow, right.occlusion))
+    sigma = jnp.sqrt(jnp.square(left.sigma)
+                     + jnp.square(warp_backward(left.flow, right.sigma)))
+    return FlowOU(flow=flow, occlusion=occl, sigma=sigma)
+
+
+def forward_backward_error(flow_forward: jnp.ndarray,
+                           flow_backward: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 2) forward-backward A->B->A consistency error.
+
+    Reference parity: MFT/utils/interpolation.py:333-359.
+    """
+    return chain_flow(flow_forward, flow_backward)
+
+
+def forward_backward_error_magnitude(flow_forward, flow_backward):
+    """(H, W) magnitude of the forward-backward error.
+
+    Reference parity: MFT/utils/interpolation.py:362-375.
+    """
+    err = forward_backward_error(flow_forward, flow_backward)
+    return jnp.sqrt(jnp.sum(jnp.square(err), axis=-1))
