@@ -1,0 +1,120 @@
+"""All-pairs correlation volume + multi-scale windowed lookup.
+
+TPU design: the all-pairs volume is ONE big MXU matmul over the stride-8
+feature maps (B, H1*W1, C) x (B, C, H2*W2) — this is where the FLOPs belong.
+The 4-level pyramid is an average-pool cascade over the target dims, and the
+per-iteration lookup is a bilinear 4-tap gather of a (2r+1)^2 window around
+each pixel's current correspondence, expressed as per-row ``take_along_axis``
+gathers that XLA maps to native gather; a fused Pallas kernel lives in
+``mft_tpu.kernels.corr_lookup`` for the hot path.
+
+Parity notes (reference MFT/RAFT/core/corr.py):
+- scaling by 1/sqrt(C) (corr.py:69);
+- optional feature L2 normalization (corr.py:59-64);
+- window ordering replicates the reference's transposed-offset quirk
+  (corr.py:38-44): output channel k = i*(2r+1)+j samples at
+  (x + (i - r), y + (j - r)) — the FIRST window axis offsets x.
+- levels are concatenated last: 324 = 4 levels x 81 channels (corr.py:50);
+- bilinear taps use zeros padding (utils.py:98-112 bilinear_sampler);
+- torch avg_pool2d floor semantics (odd trailing row/col dropped).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def avg_pool2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2/2 average pool over the LAST TWO dims, floor (VALID) semantics."""
+    h, w = x.shape[-2], x.shape[-1]
+    x = x[..., : h - h % 2, : w - w % 2]
+    s = x.shape
+    x = x.reshape(*s[:-2], s[-2] // 2, 2, s[-1] // 2, 2)
+    return x.mean(axis=(-3, -1))
+
+
+def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
+                       num_levels: int = 4,
+                       normalized_features: bool = False) -> list:
+    """Build the all-pairs correlation pyramid.
+
+    args:
+      fmap1, fmap2: (B, H, W, C) stride-8 feature maps.
+    returns:
+      list of ``num_levels`` arrays, level l: (B, H*W, H/2^l, W/2^l) float32.
+    """
+    B, H, W, C = fmap1.shape
+    f1 = fmap1.reshape(B, H * W, C).astype(jnp.float32)
+    f2 = fmap2.reshape(B, H * W, C).astype(jnp.float32)
+    if normalized_features:
+        f1 = f1 / jnp.linalg.norm(f1, axis=-1, keepdims=True)
+        f2 = f2 / jnp.linalg.norm(f2, axis=-1, keepdims=True)
+    # (B, H1*W1, H2*W2) — single MXU matmul
+    corr = jnp.einsum("bpc,bqc->bpq", f1, f2,
+                      preferred_element_type=jnp.float32)
+    corr = corr / jnp.sqrt(jnp.float32(C))
+    corr = corr.reshape(B, H * W, H, W)
+    pyramid = [corr]
+    for _ in range(num_levels - 1):
+        corr = avg_pool2x2(corr)
+        pyramid.append(corr)
+    return pyramid
+
+
+def _lookup_level(corr_l: jnp.ndarray, coords: jnp.ndarray, radius: int):
+    """Gather a bilinear (2r+1)^2 window from one pyramid level.
+
+    args:
+      corr_l: (B, P, h, w) correlation maps (one per source pixel).
+      coords: (B, P, 2) (x, y) centers at THIS level's scale.
+    returns:
+      (B, P, (2r+1)^2) sampled correlations, window ordering k = i*(2r+1)+j
+      <-> offset (dx=i-r, dy=j-r).
+    """
+    B, P, h, w = corr_l.shape
+    n = 2 * radius + 1
+    # offsets: first axis offsets x, second offsets y (reference quirk)
+    off = jnp.arange(n, dtype=jnp.float32) - radius
+    ox = jnp.repeat(off, n)   # (n*n,) i-major
+    oy = jnp.tile(off, n)
+
+    x = coords[..., 0:1] + ox  # (B, P, n*n)
+    y = coords[..., 1:2] + oy
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = x - x0f
+    wy = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    flat = corr_l.reshape(B, P, h * w)
+
+    def tap(xi, yi, wgt):
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        v = jnp.take_along_axis(flat, idx, axis=-1)
+        return jnp.where(valid, v, 0.0) * wgt
+
+    return (tap(x0, y0, (1 - wx) * (1 - wy))
+            + tap(x0 + 1, y0, wx * (1 - wy))
+            + tap(x0, y0 + 1, (1 - wx) * wy)
+            + tap(x0 + 1, y0 + 1, wx * wy))
+
+
+def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
+    """Sample the correlation pyramid around per-pixel correspondences.
+
+    args:
+      pyramid: output of :func:`build_corr_pyramid`.
+      coords: (B, H, W, 2) current correspondence coordinates (level-0 scale).
+    returns:
+      (B, H, W, num_levels*(2r+1)^2) float32, levels concatenated last.
+    """
+    B, H, W, _ = coords.shape
+    c = coords.reshape(B, H * W, 2)
+    out = [
+        _lookup_level(corr_l, c / (2.0 ** lvl), radius)
+        for lvl, corr_l in enumerate(pyramid)
+    ]
+    return jnp.concatenate(out, axis=-1).reshape(B, H, W, -1)

@@ -1,0 +1,197 @@
+"""RAFT-OU flow network: encoders -> corr volume -> iterative GRU -> OU heads.
+
+TPU-first design decisions:
+- NHWC everywhere; inputs are (B, H, W, 3) float32 in [0, 255] (RGB), with
+  H, W divisible by 8 (see wrapper.py for padding).
+- both frames go through fnet as ONE batched conv pass (batch concat), like
+  the reference's list trick (extractor.py:171-174) — bigger MXU matmuls.
+- the all-pairs correlation volume is a single MXU matmul (corr.py here).
+- the refinement recurrence runs a statically-unrolled loop over ``iters``
+  (static under jit): the compiled graph is identical to
+  ``lax.scan(..., unroll=iters)`` and lets test mode skip the OU heads on all
+  but the last iteration (reference raft.py:195-226).
+- gradients: ``stop_gradient`` replaces the reference's ``.detach()`` calls
+  (raft.py:174, 199-205) so the training objective matches exactly.
+
+Architecture parity: MFT/RAFT/core/raft.py:24-259. Hyperparameters (big
+model): hdim=cdim=128, corr_levels=4, corr_radius=4, OU input 712ch,
+12 iterations at test time (configs/flow/RAFTou_kubric_huber_split_nonoccl.py:27).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from mft_tpu.models.raft.layers import BasicEncoder, SmallEncoder
+from mft_tpu.models.raft.update import (
+    BasicUpdateBlock,
+    OcclusionAndUncertaintyBlock,
+)
+from mft_tpu.models.raft.corr import build_corr_pyramid, corr_lookup
+from mft_tpu.models.raft.upsample import convex_upsample
+
+
+@dataclasses.dataclass(frozen=True)
+class RAFTParams:
+    """Static model configuration (mirrors the reference args namespace)."""
+    small: bool = False
+    occlusion_module: str | None = "separate_with_uncertainty"
+    corr_levels: int = 4
+    corr_radius: int = 4
+    normalized_features: bool = False
+    relu_uncertainty: bool = False
+    ou_last_iter_only: bool = False
+    dropout: float = 0.0
+
+    @property
+    def occlusion_estimation(self) -> bool:
+        return self.occlusion_module is not None
+
+    @property
+    def uncertainty_estimation(self) -> bool:
+        return (self.occlusion_estimation
+                and "with_uncertainty" in self.occlusion_module)
+
+    @property
+    def uncertainty_upsample_mult(self) -> float:
+        # 'upsample8' variant multiplies upsampled uncertainty by 8
+        return 8.0 if (self.occlusion_module
+                       and "upsample8" in self.occlusion_module) else 1.0
+
+    @property
+    def ou_architecture(self) -> str:
+        return ("morelayers" if (self.occlusion_module
+                                 and "morelayers" in self.occlusion_module)
+                else "simple")
+
+    @property
+    def hidden_dim(self) -> int:
+        return 96 if self.small else 128
+
+    @property
+    def context_dim(self) -> int:
+        return 64 if self.small else 128
+
+
+def initialize_coords(B: int, H8: int, W8: int):
+    """coords0 == coords1 == pixel grid at 1/8 scale; flow = coords1 - coords0."""
+    xs = jnp.arange(W8, dtype=jnp.float32)
+    ys = jnp.arange(H8, dtype=jnp.float32)
+    xg, yg = jnp.meshgrid(xs, ys)
+    grid = jnp.stack([xg, yg], axis=-1)[None]  # (1, H8, W8, 2)
+    return jnp.broadcast_to(grid, (B, H8, W8, 2))
+
+
+class RAFT(nn.Module):
+    """RAFT with occlusion+uncertainty heads.
+
+    ``__call__(image1, image2, iters, flow_init, test_mode)`` returns a dict:
+      test_mode=True:  {'flow': (B,H,W,2), 'occlusion': (B,H,W,2) raw logits,
+                        'uncertainty': (B,H,W,1) log-variance,
+                        'coords': (B,H/8,W/8,2) low-res flow}
+      test_mode=False: same keys but each a list of per-iteration predictions
+                       (for the gamma-weighted sequence losses).
+    """
+    cfg: RAFTParams = RAFTParams()
+    train_mode: bool = False
+
+    def setup(self):
+        if self.cfg.small:
+            self.fnet = SmallEncoder(output_dim=128, norm_fn="instance",
+                                     train=self.train_mode, dropout=self.cfg.dropout)
+            self.cnet = SmallEncoder(
+                output_dim=self.cfg.hidden_dim + self.cfg.context_dim,
+                norm_fn="none", train=self.train_mode, dropout=self.cfg.dropout)
+        else:
+            self.fnet = BasicEncoder(output_dim=256, norm_fn="instance",
+                                     train=self.train_mode, dropout=self.cfg.dropout)
+            self.cnet = BasicEncoder(
+                output_dim=self.cfg.hidden_dim + self.cfg.context_dim,
+                norm_fn="batch", train=self.train_mode, dropout=self.cfg.dropout)
+        self.update_block = BasicUpdateBlock(hidden_dim=self.cfg.hidden_dim)
+        if self.cfg.occlusion_estimation:
+            self.occlusion_block = OcclusionAndUncertaintyBlock(
+                architecture=self.cfg.ou_architecture)
+
+    def __call__(self, image1, image2, iters: int = 12, flow_init=None,
+                 test_mode: bool = True, normalise_input: bool = True):
+        cfg = self.cfg
+        if normalise_input:
+            image1 = 2.0 * (image1 / 255.0) - 1.0
+            image2 = 2.0 * (image2 / 255.0) - 1.0
+
+        B, H, W, _ = image1.shape
+        H8, W8 = H // 8, W // 8
+
+        # one batched conv pass over both frames (reference extractor.py:171-174)
+        fmaps = self.fnet(jnp.concatenate([image1, image2], axis=0))
+        fmap1, fmap2 = fmaps[:B].astype(jnp.float32), fmaps[B:].astype(jnp.float32)
+
+        pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels,
+                                     cfg.normalized_features)
+
+        cnet = self.cnet(image1)
+        net = jnp.tanh(cnet[..., : cfg.hidden_dim])
+        inp = nn.relu(cnet[..., cfg.hidden_dim:])
+
+        coords0 = initialize_coords(B, H8, W8)
+        coords1 = coords0
+        if flow_init is not None:
+            coords1 = coords1 + flow_init
+
+        flow_preds, occl_preds, unc_preds = [], [], []
+        flow_up = occl_up = uncertainty_up = None
+        for itr in range(iters):
+            coords1 = jax.lax.stop_gradient(coords1)
+            corr = corr_lookup(pyramid, coords1, cfg.corr_radius)
+
+            flow = coords1 - coords0
+            net, up_mask, delta_flow, motion_features = self.update_block(
+                net, inp, corr, flow)
+            coords1 = coords1 + delta_flow
+
+            is_last = itr == iters - 1
+            need_up = (not test_mode) or is_last
+            if need_up:
+                flow_up = convex_upsample(coords1 - coords0, up_mask,
+                                          mult_coef=8.0)
+                flow_preds.append(flow_up)
+
+            ou_this_iter = cfg.occlusion_estimation and (
+                is_last if (test_mode or cfg.ou_last_iter_only) else True)
+            if ou_this_iter:
+                occlusion, uncertainty = self.occlusion_block(
+                    jax.lax.stop_gradient(net),
+                    inp,
+                    jax.lax.stop_gradient(corr),
+                    jax.lax.stop_gradient(coords1 - coords0),
+                    jax.lax.stop_gradient(delta_flow),
+                    motion_features,
+                )
+                occl_up = convex_upsample(occlusion, up_mask, mult_coef=1.0)
+                occl_preds.append(occl_up)
+                if cfg.uncertainty_estimation:
+                    uncertainty_up = convex_upsample(
+                        uncertainty, up_mask,
+                        mult_coef=cfg.uncertainty_upsample_mult)
+                    if cfg.relu_uncertainty:
+                        uncertainty_up = nn.relu(uncertainty_up)
+                    unc_preds.append(uncertainty_up)
+
+        outputs = {}
+        if test_mode:
+            outputs["flow"] = flow_up
+            if cfg.occlusion_estimation:
+                outputs["occlusion"] = occl_up
+            if cfg.uncertainty_estimation:
+                outputs["uncertainty"] = uncertainty_up
+        else:
+            outputs["flow"] = flow_preds
+            if cfg.occlusion_estimation:
+                outputs["occlusion"] = occl_preds
+            if cfg.uncertainty_estimation:
+                outputs["uncertainty"] = unc_preds
+        outputs["coords"] = coords1 - coords0
+        return outputs

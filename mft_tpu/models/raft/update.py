@@ -1,0 +1,125 @@
+"""Update blocks: motion encoder, separable ConvGRU, flow/mask/OU heads.
+
+Parity notes (reference MFT/RAFT/core/update.py):
+- BasicMotionEncoder (update.py:142-160): corr -> 256(1x1) -> 192(3x3),
+  flow -> 128(7x7) -> 64(3x3), concat -> 126(3x3), concat raw flow -> 128ch.
+- SepConvGRU (update.py:96-123): two GRU passes with (1,5) then (5,1) convs.
+- BasicUpdateBlock (update.py:216-238): GRU input = concat(context 128,
+  motion 128); flow head 128->256->2; mask head 128->256->576 scaled by 0.25.
+- OcclusionAndUncertaintyBlock (update.py:177-214): input concat
+  [net, inp, corr, flow, delta_flow, motion_features] = 712 ch; separate
+  'simple' (2-conv) or 'morelayers' (4-conv) occlusion (2ch) and uncertainty
+  (1ch) heads with hidden width 128.
+"""
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from mft_tpu.models.raft.layers import _pad
+
+
+class FlowHead(nn.Module):
+    """3x3 conv -> relu -> 3x3 conv to ``out_dim``. Reference update.py:6-14."""
+    hidden_dim: int = 256
+    out_dim: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.hidden_dim, (3, 3), padding=_pad(3), name="conv1")(x)
+        x = nn.relu(x)
+        return nn.Conv(self.out_dim, (3, 3), padding=_pad(3), name="conv2")(x)
+
+
+class SimpleHead(nn.Module):
+    """'simple' OU head variant: conv-relu-conv. Reference update.py:17-75."""
+    hidden_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.hidden_dim, (3, 3), padding=_pad(3), name="conv1")(x)
+        x = nn.relu(x)
+        return nn.Conv(self.out_dim, (3, 3), padding=_pad(3), name="conv2")(x)
+
+
+class MoreLayersHead(nn.Module):
+    """'morelayers' OU head variant: 4 convs. Reference update.py:27-36."""
+    hidden_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(3):
+            x = nn.Conv(self.hidden_dim, (3, 3), padding=_pad(3), name=f"conv{i}")(x)
+            x = nn.relu(x)
+        return nn.Conv(self.out_dim, (3, 3), padding=_pad(3), name="conv3")(x)
+
+
+class BasicMotionEncoder(nn.Module):
+    """Encode (corr window sample, flow) into 128-ch motion features."""
+    corr_channels: int = 324  # 4 levels * 9^2
+
+    @nn.compact
+    def __call__(self, flow, corr):
+        cor = nn.relu(nn.Conv(256, (1, 1), padding="VALID", name="convc1")(corr))
+        cor = nn.relu(nn.Conv(192, (3, 3), padding=_pad(3), name="convc2")(cor))
+        flo = nn.relu(nn.Conv(128, (7, 7), padding=_pad(7), name="convf1")(flow))
+        flo = nn.relu(nn.Conv(64, (3, 3), padding=_pad(3), name="convf2")(flo))
+        out = nn.relu(nn.Conv(126, (3, 3), padding=_pad(3), name="conv")(
+            jnp.concatenate([cor, flo], axis=-1)))
+        return jnp.concatenate([out, flow], axis=-1)  # 128 ch
+
+
+class SepConvGRU(nn.Module):
+    """Separable ConvGRU: horizontal (1,5) pass then vertical (5,1) pass."""
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, h, x):
+        for suffix, ksize, pad in (("1", (1, 5), [(0, 0), (2, 2)]),
+                                   ("2", (5, 1), [(2, 2), (0, 0)])):
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = nn.sigmoid(nn.Conv(self.hidden_dim, ksize, padding=pad,
+                                   name=f"convz{suffix}")(hx))
+            r = nn.sigmoid(nn.Conv(self.hidden_dim, ksize, padding=pad,
+                                   name=f"convr{suffix}")(hx))
+            q = nn.tanh(nn.Conv(self.hidden_dim, ksize, padding=pad,
+                                name=f"convq{suffix}")(
+                jnp.concatenate([r * h, x], axis=-1)))
+            h = (1.0 - z) * h + z * q
+        return h
+
+
+class BasicUpdateBlock(nn.Module):
+    """One RAFT refinement step: motion enc -> GRU -> flow delta + up-mask."""
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        motion_features = BasicMotionEncoder(name="encoder")(flow, corr)
+        gru_in = jnp.concatenate([inp, motion_features], axis=-1)
+        net = SepConvGRU(self.hidden_dim, name="gru")(net, gru_in)
+        delta_flow = FlowHead(256, 2, name="flow_head")(net)
+
+        # mask head scaled 0.25 to balance gradients (reference update.py:237)
+        m = nn.relu(nn.Conv(256, (3, 3), padding=_pad(3), name="mask_conv1")(net))
+        up_mask = 0.25 * nn.Conv(576, (1, 1), padding="VALID", name="mask_conv2")(m)
+        return net, up_mask, delta_flow, motion_features
+
+
+class OcclusionAndUncertaintyBlock(nn.Module):
+    """Separate occlusion (2ch logits) + uncertainty (1ch log-var) heads.
+
+    Input: concat[net(128), inp(128), corr(324), flow(2), delta_flow(2),
+    motion_features(128)] = 712 channels (reference raft.py:47, update.py:197).
+    """
+    architecture: str = "simple"
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow, delta_flow, motion_features):
+        x = jnp.concatenate([net, inp, corr, flow, delta_flow, motion_features],
+                            axis=-1)
+        head = SimpleHead if self.architecture == "simple" else MoreLayersHead
+        occl = head(128, 2, name="occl_head")(x)
+        uncertainty = head(128, 1, name="uncertainty_head")(x)
+        return occl, uncertainty

@@ -1,0 +1,176 @@
+"""RAFTFlow: the flow-computation service used by the MFT tracker.
+
+Role parity with the reference RAFTWrapper (MFT/raft.py:15-94): owns the
+model weights, handles padding to /8, converts raw head outputs into
+(flow, occlusion probability, sigma). TPU-first differences:
+
+- the whole pipeline (pad -> forward -> unpad -> softmax/sqrt-exp postproc)
+  is ONE jitted function per input shape — no per-pair host<->device hops;
+- a batched entry point ``forward_batch`` runs all of a frame's delta pairs
+  in a single forward (the tracker's hot path batches the <=7 deltas);
+- images live as (H, W, 3) RGB float32 in [0, 255], channel-last.
+
+Checkpoints: reference .pth files are converted on load (convert.py); native
+checkpoints are flax msgpack. Missing checkpoint -> deterministic random init
+(the reference's trained .pth is not distributed with the repo either,
+.MISSING_LARGE_BLOBS:1).
+"""
+
+import logging
+from functools import partial
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mft_tpu.models.raft.raft import RAFT, RAFTParams
+from mft_tpu.models.raft.upsample import downsample_flow8
+
+logger = logging.getLogger(__name__)
+
+
+def pad_to_8(H: int, W: int):
+    """Sintel-mode padding amounts: ((top, bottom), (left, right)).
+
+    Reference parity: MFT/RAFT/core/utils/utils.py:7-16 (InputPadder).
+    """
+    pad_ht = (((H // 8) + 1) * 8 - H) % 8
+    pad_wd = (((W // 8) + 1) * 8 - W) % 8
+    return ((pad_ht // 2, pad_ht - pad_ht // 2),
+            (pad_wd // 2, pad_wd - pad_wd // 2))
+
+
+def raft_params_from_config(raft_kwargs) -> RAFTParams:
+    """Build RAFTParams from a reference-style raft_params mapping."""
+    get = (raft_kwargs.get if hasattr(raft_kwargs, "get")
+           else lambda k, d=None: getattr(raft_kwargs, k, d))
+    return RAFTParams(
+        small=bool(get("small", False)),
+        occlusion_module=get("occlusion_module", "separate_with_uncertainty"),
+        normalized_features=bool(get("normalized_features", False)),
+        relu_uncertainty=bool(get("relu_uncertainty", False)),
+        ou_last_iter_only=bool(get("OU_last_iter_only", False)),
+    )
+
+
+def load_variables(path, model: RAFT, example_hw=(64, 64)):
+    """Load checkpoint variables, falling back to deterministic random init."""
+    path = Path(path) if path else None
+    if path is not None and path.exists():
+        if path.suffix == ".pth":
+            from mft_tpu.models.raft.convert import load_torch_checkpoint
+            logger.info("converting torch checkpoint %s", path)
+            variables = load_torch_checkpoint(path)
+            return jax.tree.map(jnp.asarray, variables)
+        if path.suffix in (".msgpack", ".bin"):
+            from flax import serialization
+            target = _random_init(model, example_hw)
+            return serialization.from_bytes(target, path.read_bytes())
+        raise ValueError(f"unknown checkpoint format: {path}")
+    logger.warning("checkpoint %s not found - using random init", path)
+    return _random_init(model, example_hw)
+
+
+def _random_init(model: RAFT, hw):
+    H, W = hw
+    dummy = jnp.zeros((1, H, W, 3), jnp.float32)
+    return model.init(jax.random.PRNGKey(0), dummy, dummy, iters=1)
+
+
+def save_variables(path, variables):
+    from flax import serialization
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Path(path).write_bytes(serialization.to_bytes(variables))
+
+
+class RAFTFlow:
+    """Flow/occlusion/sigma estimator service (reference RAFTWrapper role)."""
+
+    def __init__(self, config):
+        self.C = config
+        self.cfg = raft_params_from_config(config.raft_params or {})
+        self.iters = int(config.flow_iters or 12)
+        self.model = RAFT(cfg=self.cfg, train_mode=False)
+        self.variables = load_variables(config.model or None, self.model)
+        self._jitted = {}
+
+    # ------------------------------------------------------------------ #
+    def _forward_fn(self, B, H, W, with_init):
+        """Build + cache the jitted padded-forward for a given shape."""
+        key = (B, H, W, with_init)
+        if key in self._jitted:
+            return self._jitted[key]
+        (pt, pb), (pl, pr) = pad_to_8(H, W)
+        model, iters = self.model, self.iters
+
+        def fwd(variables, image1, image2, init_flow=None):
+            # replicate-pad to /8 (reference InputPadder, utils.py:18-19)
+            pad = ((0, 0), (pt, pb), (pl, pr), (0, 0))
+            i1 = jnp.pad(image1, pad, mode="edge")
+            i2 = jnp.pad(image2, pad, mode="edge")
+            flow_init = None
+            if init_flow is not None:
+                fi = jnp.pad(init_flow, pad, mode="edge")
+                flow_init = downsample_flow8(fi)
+            out = model.apply(variables, i1, i2, iters=iters,
+                              flow_init=flow_init, test_mode=True)
+            Hp, Wp = H + pt + pb, W + pl + pr
+            unpad = lambda x: x[:, pt:Hp - pb, pl:Wp - pr]
+            flow = unpad(out["flow"])
+            occl = unpad(jax.nn.softmax(out["occlusion"], axis=-1)[..., 1])
+            sigma = unpad(jnp.sqrt(jnp.exp(out["uncertainty"][..., 0])))
+            return flow, occl, sigma
+
+        jitted = jax.jit(fwd)
+        self._jitted[key] = jitted
+        return jitted
+
+    # ------------------------------------------------------------------ #
+    def forward_batch(self, images1, images2, init_flow=None):
+        """Batched flow: (N, H, W, 3) RGB float [0,255] -> (flow, occl, sigma).
+
+        returns: flow (N, H, W, 2), occlusion (N, H, W), sigma (N, H, W),
+        all on-device.
+        """
+        N, H, W, _ = images1.shape
+        fwd = self._forward_fn(N, H, W, init_flow is not None)
+        if init_flow is not None:
+            return fwd(self.variables, images1, images2, init_flow)
+        return fwd(self.variables, images1, images2)
+
+    def compute_flow(self, src_img, dst_img, mode="flow", init_flow=None,
+                     numpy_out=False, **_):
+        """Single-pair API (reference MFT/raft.py:30-94).
+
+        args:
+          src_img, dst_img: (H, W, 3) uint8 BGR images (opencv convention).
+          mode: 'flow' (dense) or 'TC' (correspondences).
+          init_flow: optional (H, W, 2) flow initialization.
+
+        returns (mode='flow'):
+          flow (H, W, 2), {'occlusion': (H, W), 'sigma': (H, W)}
+        returns (mode='TC'):
+          src_coords (H*W, 2), dst_coords (H*W, 2), extra dict
+        """
+        H, W = src_img.shape[:2]
+        img1 = jnp.asarray(src_img[:, :, ::-1], jnp.float32)[None]
+        img2 = jnp.asarray(dst_img[:, :, ::-1], jnp.float32)[None]
+        fi = init_flow[None] if init_flow is not None else None
+        flow, occl, sigma = self.forward_batch(img1, img2, init_flow=fi)
+        flow, occl, sigma = flow[0], occl[0], sigma[0]
+
+        if mode == "flow":
+            if numpy_out:
+                flow, occl, sigma = map(np.asarray, (flow, occl, sigma))
+            return flow, {"occlusion": occl, "sigma": sigma}
+        if mode == "TC":
+            from mft_tpu.core import grid_coords
+            src = grid_coords(H, W).reshape(-1, 2)
+            dst = src + flow.reshape(-1, 2)
+            extra = {"occlusion": occl.reshape(-1), "sigma": sigma.reshape(-1)}
+            if numpy_out:
+                src, dst = np.asarray(src), np.asarray(dst)
+                extra = {k: np.asarray(v) for k, v in extra.items()}
+            return src, dst, extra
+        raise ValueError(f"unknown mode {mode!r}")
