@@ -1,0 +1,151 @@
+"""TAP-Vid benchmark runner: track every sequence, write prediction pickles.
+
+Role parity with reference MFT/runners/run_MFT_tapvid.py:86-316:
+per sequence x query_mode x start_frame x direction, track with the MFT
+tracker, sample the query tracks, scale predictions to the 256x256 metric
+raster and write ``{seq}-{mode}.pklz`` files with {'tracks', 'occluded'}.
+Per-sequence flow caches make repeated (start_frame, direction) passes reuse
+pairwise flows. ``--cont`` resumes by skipping existing result files.
+"""
+
+import argparse
+import logging
+import pickle
+import shutil
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from mft_tpu.config import load_config
+from mft_tpu.eval.tapvid import create_tapvid_dataset
+from mft_tpu.io.cache import FlowCache
+from mft_tpu.tracker.point_tracking import convert_to_point_tracking
+from mft_tpu.utils.repro import code_export
+
+logger = logging.getLogger(__name__)
+
+
+def track_sequence(tracker, video, start_frame, direction="forward",
+                   flow_cache=None):
+    """Track from ``start_frame`` to the video end (or start, if backward).
+
+    returns: {frame_i: meta} with meta.result a FlowOU (template->frame_i).
+    Reference parity: run_MFT_tapvid.py:251-285.
+    """
+    time_direction = 1 if direction == "forward" else -1
+    metas = {start_frame: tracker.init(video[start_frame],
+                                       start_frame_i=start_frame,
+                                       time_direction=time_direction,
+                                       flow_cache=flow_cache)}
+    frame_range = (range(start_frame + 1, len(video)) if time_direction > 0
+                   else range(start_frame - 1, -1, -1))
+    for frame_i in frame_range:
+        metas[frame_i] = tracker.track(video[frame_i])
+    return metas
+
+
+def run(args):
+    configs = [load_config(p) for p in args.trackers]
+    config = configs[0]
+    tracker = config.tracker_class(config)
+    dataset_conf = load_config(args.dataset)
+
+    export_root = Path(args.export)
+    for cfg in configs:
+        result_dir = export_root / cfg.name / "results"
+        result_dir.mkdir(parents=True, exist_ok=True)
+        code_export(export_root / cfg.name / "code")
+
+    query_modes = ["first", "strided"] if args.mode == "both" else [args.mode]
+
+    for pickle_path in dataset_conf.pickles:
+        dataset = create_tapvid_dataset(pickle_path, query_modes,
+                                        dataset_conf.scaling)
+        for seq in dataset:
+            name = seq["video_name"]
+            if args.seq and name not in args.seq:
+                continue
+            video = seq["data"][query_modes[0]]["video"][0]
+            video = np.ascontiguousarray(video[..., ::-1])  # RGB -> BGR
+
+            cache_dir = Path(args.cache) / (dataset_conf.name or "ds") / name
+            shutil.rmtree(cache_dir, ignore_errors=True)
+            flow_cache = FlowCache(cache_dir, max_ram_mb=args.ram_cache_limit * 1e3,
+                                   max_device_mb=args.device_cache_limit * 1e3)
+
+            for query_mode in query_modes:
+                gt = seq["data"][query_mode]
+                query_points = gt["query_points"][0].astype(np.int64)  # (N, tyx)
+                start_frames = np.unique(query_points[:, 0])
+                N_queries, N_frames = query_points.shape[0], video.shape[0]
+
+                for cfg in configs:
+                    tracker.C = cfg  # runner-level config monkeypatch
+                    out_path = (export_root / cfg.name / "results"
+                                / f"{name}-{query_mode}.pklz")
+                    if args.cont and out_path.exists():
+                        logger.info("skipping %s (already computed)", out_path.name)
+                        continue
+                    pred_occluded = np.zeros((N_queries, N_frames))
+                    pred_tracks = np.zeros((N_queries, N_frames, 2))
+
+                    for start_frame in start_frames:
+                        mask = query_points[:, 0] == start_frame
+                        queries = query_points[mask, 1:][:, ::-1].astype(np.float32)  # yx -> xy
+
+                        directions = ["forward"]
+                        if query_mode == "strided":
+                            directions.append("backward")
+                        for direction in directions:
+                            metas = track_sequence(tracker, video, int(start_frame),
+                                                   direction, flow_cache)
+                            frame_gen = (range(int(start_frame), N_frames)
+                                         if direction == "forward"
+                                         else range(int(start_frame), -1, -1))
+                            for frame_i in frame_gen:
+                                coords, occl = convert_to_point_tracking(
+                                    metas[frame_i].result, queries)
+                                pred_tracks[mask, frame_i, :] = coords
+                                pred_occluded[mask, frame_i] = occl
+
+                    H, W = video.shape[1], video.shape[2]
+                    scale = np.array([256.0 / W, 256.0 / H]).reshape(1, 1, 1, 2)
+                    out = {"tracks": pred_tracks[None] * scale,
+                           "occluded": pred_occluded[None]}
+                    with open(out_path, "wb") as f:
+                        pickle.dump(out, f)
+                    logger.info("wrote %s", out_path)
+
+            shutil.rmtree(cache_dir, ignore_errors=True)
+            flow_cache.clear()
+    return 0
+
+
+def get_parser():
+    parser = argparse.ArgumentParser(description="run MFT on TAP-Vid")
+    parser.add_argument("--trackers", nargs="+",
+                        default=["configs/MFT_cfg.py"])
+    parser.add_argument("--dataset",
+                        default="dataset_configs/tapvid_davis_256x256_512x512.py")
+    parser.add_argument("--export", default="export")
+    parser.add_argument("--cache", default="flow_cache")
+    parser.add_argument("--mode", choices=["first", "strided", "both"],
+                        default="both")
+    parser.add_argument("--seq", nargs="*", default=None)
+    parser.add_argument("--cont", action="store_true",
+                        help="skip sequences with existing results")
+    parser.add_argument("--ram_cache_limit", type=float, default=10,
+                        help="GB of host RAM for the flow cache")
+    parser.add_argument("--device_cache_limit", type=float, default=5,
+                        help="GB of device HBM for the flow cache")
+    return parser
+
+
+def main():
+    logging.basicConfig(level=logging.INFO)
+    sys.exit(run(get_parser().parse_args()))
+
+
+if __name__ == "__main__":
+    main()

@@ -154,7 +154,11 @@ class MFT:
             compute_idx = [i for i, c in enumerate(cands)
                            if c.valid and i not in cached]
         else:
-            compute_idx = [i for i, c in enumerate(cands) if c.valid]
+            # compute the FULL candidate batch, invalid slots included (they
+            # read the template slot and are masked in selection) — a single
+            # static batch shape means ONE compiled RAFT forward, instead of
+            # one recompilation per distinct frame-age validity pattern
+            compute_idx = list(range(N))
 
         comp = {}
         if compute_idx:
@@ -165,7 +169,8 @@ class MFT:
             for k, i in enumerate(compute_idx):
                 comp[i] = (f[k], o[k], s[k])
                 c = cands[i]
-                if cache is not None and c.cacheable and i not in cached:
+                if (cache is not None and c.valid and c.cacheable
+                        and i not in cached):
                     cache.write(c.left_id, t, np.asarray(f[k]),
                                 np.asarray(o[k]), np.asarray(s[k]))
 

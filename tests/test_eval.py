@@ -1,0 +1,186 @@
+"""TAP-Vid eval stack: metric parity vs reference, query sampling, e2e runner."""
+
+import pickle
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from mft_tpu.eval.metrics import compute_tapvid_metrics
+from mft_tpu.eval.tapvid import (sample_queries_first, sample_queries_strided,
+                                 create_tapvid_dataset, resize_video)
+
+
+def _reference_tves():
+    """Import the reference evaluation module (oracle), stubbing mediapy."""
+    if "mediapy" not in sys.modules:
+        stub = types.ModuleType("mediapy")
+        stub.resize_video = lambda v, size: v  # not used by the metric fn
+        sys.modules["mediapy"] = stub
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    try:
+        from MFT.evaluation import tapvid_eval_stuff as tves
+        return tves
+    except Exception:
+        return None
+
+
+def synth_tracks(rng, N=12, T=20, noise=1.0):
+    gt_tracks = rng.uniform(20, 230, (1, N, 1, 2)) + \
+        np.cumsum(rng.normal(0, 2, (1, N, T, 2)), axis=2)
+    gt_occluded = rng.uniform(size=(1, N, T)) < 0.2
+    gt_occluded[:, :, 0] = False  # queries visible at t=0
+    pred_tracks = gt_tracks + rng.normal(0, noise, gt_tracks.shape)
+    pred_occluded = gt_occluded ^ (rng.uniform(size=gt_occluded.shape) < 0.1)
+    q = np.stack([np.zeros(N), gt_tracks[0, :, 0, 1], gt_tracks[0, :, 0, 0]],
+                 axis=-1)[None]
+    return q, gt_occluded, gt_tracks, pred_occluded, pred_tracks
+
+
+@pytest.mark.parametrize("query_mode", ["first", "strided"])
+def test_metrics_match_reference(rng, query_mode):
+    tves = _reference_tves()
+    if tves is None:
+        pytest.skip("reference eval module not importable")
+    q, gt_o, gt_t, pr_o, pr_t = synth_tracks(rng)
+    ours = compute_tapvid_metrics(q, gt_o, gt_t, pr_o, pr_t, query_mode)
+    want = tves.compute_tapvid_metrics(q, gt_o, gt_t, pr_o, pr_t, query_mode)
+    assert set(ours) == set(want)
+    for k in want:
+        np.testing.assert_allclose(ours[k], want[k], atol=1e-9, err_msg=k)
+
+
+def test_metrics_perfect_prediction(rng):
+    q, gt_o, gt_t, _, _ = synth_tracks(rng)
+    m = compute_tapvid_metrics(q, gt_o, gt_t, gt_o, gt_t, "strided")
+    assert m["occlusion_accuracy"][0] == 1.0
+    assert m["average_jaccard"][0] == 1.0
+    assert m["average_pts_within_thresh"][0] == 1.0
+
+
+def test_query_sampling(rng):
+    N, T = 6, 13
+    occl = rng.uniform(size=(N, T)) < 0.3
+    occl[0] = True  # fully occluded track -> dropped in 'first'
+    occl[1, :4] = True
+    occl[1, 4] = False
+    pts = rng.uniform(0, 256, (N, T, 2))
+    frames = np.zeros((T, 8, 8, 3), np.uint8)
+
+    first = sample_queries_first(occl, pts, frames)
+    n_valid = int(np.sum(np.any(~occl, axis=1)))
+    assert first["query_points"].shape == (1, n_valid, 3)
+    # track 1's query must be at its first visible frame (t=4), [t, y, x]
+    i1 = list(np.where(np.any(~occl, axis=1))[0]).index(1)
+    assert first["query_points"][0, i1, 0] == 4
+    np.testing.assert_allclose(first["query_points"][0, i1, 1:],
+                               pts[1, 4][::-1])
+
+    strided = sample_queries_strided(occl, pts, frames, query_stride=5)
+    expect = sum(int(np.sum(~occl[:, i])) for i in range(0, T, 5))
+    assert strided["query_points"].shape == (1, expect, 3)
+    assert set(np.unique(strided["query_points"][0, :, 0])) <= {0.0, 5.0, 10.0}
+
+
+def make_synthetic_pickle(path, rng, n_seq=1, T=8, H=64, W=64, n_tracks=5,
+                          shift=(1.0, 0.5)):
+    """A DAVIS-format pickle with constant ``shift`` px/frame global motion."""
+    data = {}
+    for s in range(n_seq):
+        video = np.zeros((T, H, W, 3), np.uint8)
+        for t in range(T):
+            video[t] = 100
+            video[t, 0, 0, 0] = t  # frame-index marker for the fake flower
+        # frame-0 points on integer pixels: the protocol runner truncates
+        # query coords to int (as the reference does, run_MFT_tapvid.py:142),
+        # which this small test resolution would otherwise amplify
+        base = np.stack([rng.integers(8, int(0.6 * W), (n_tracks,)) / W,
+                         rng.integers(8, int(0.6 * H), (n_tracks,)) / H],
+                        axis=-1)[:, None, :]
+        steps = np.arange(T).reshape(1, T, 1)
+        motion = steps * np.array([shift[0] / W, shift[1] / H]).reshape(1, 1, 2)
+        points = base + motion  # in 0..1 coords
+        occluded = np.zeros((n_tracks, T), bool)
+        data[f"seq{s}"] = {"video": video, "points": points.astype(np.float64),
+                           "occluded": occluded}
+    with open(path, "wb") as f:
+        pickle.dump(data, f)
+    return path
+
+
+def test_dataset_scaling_stages(tmp_path, rng):
+    p = make_synthetic_pickle(tmp_path / "synth.pkl", rng, H=64, W=64)
+    seqs = list(create_tapvid_dataset(p, ["first"], scaling="32x32_48x48"))
+    assert len(seqs) == 1
+    rec = seqs[0]["data"]["first"]
+    assert rec["video"].shape[2:4] == (48, 48)
+    # target points scaled to FINAL resolution
+    assert rec["target_points"].max() <= 48.0
+
+
+def test_runner_end_to_end(tmp_path, rng):
+    """Full runner -> evaluator -> report round trip with the fake flower."""
+    # integer per-frame shift + power-of-two resolution: queries at every
+    # stride frame stay on EXACT integer pixels (1/64 is binary-exact), so the
+    # protocol's int-truncation of query coords is lossless here
+    pkl = make_synthetic_pickle(tmp_path / "synth.pkl", rng, T=6, H=64, W=64,
+                                shift=(1.0, 1.0))
+
+    tracker_cfg = tmp_path / "tracker_cfg.py"
+    tracker_cfg.write_text(f"""
+import numpy as np
+from mft_tpu.config import Config
+from mft_tpu.tracker import MFT
+from tests.test_tracker import FakeFlower
+
+def get_config():
+    c = Config()
+    c.tracker_class = MFT
+    flow = Config()
+    flow.of_class = FakeFlower
+    flow.sigma_scale = 0.1
+    flow.shift = (1.0, 1.0)
+    flow.name = 'fake_flow'
+    c.flow_config = flow
+    c.deltas = [np.inf, 1, 2]
+    c.occlusion_threshold = 0.02
+    c.name = 'fake_tracker'
+    return c
+""")
+    dataset_cfg = tmp_path / "dataset_cfg.py"
+    dataset_cfg.write_text(f"""
+from mft_tpu.config import Config
+
+def get_config():
+    c = Config()
+    c.pickles = [r"{pkl}"]
+    c.scaling = 'fullres'
+    c.name = 'synth'
+    return c
+""")
+
+    from mft_tpu.eval import runner, evaluate
+    args = runner.get_parser().parse_args([
+        "--trackers", str(tracker_cfg), "--dataset", str(dataset_cfg),
+        "--export", str(tmp_path / "export"), "--cache", str(tmp_path / "cache"),
+        "--mode", "both"])
+    assert runner.run(args) == 0
+
+    eargs = evaluate.get_parser().parse_args([
+        "--trackers", str(tracker_cfg), "--dataset", str(dataset_cfg),
+        "--export", str(tmp_path / "export"), "--mode", "both"])
+    evaluate.run(eargs)
+
+    import pandas as pd
+    df = pd.read_pickle(tmp_path / "export/fake_tracker/eval/tapvid-eval.pklz")
+    # fake flow exactly matches the synthetic GT motion -> (near-)perfect AJ
+    assert df["average_jaccard"].mean() > 0.95, df
+    df_s = pd.read_pickle(tmp_path / "export/fake_tracker/eval/tapvid-eval-strided.pklz")
+    assert df_s["average_jaccard"].mean() > 0.95, df_s
+
+    from mft_tpu.eval.report import report
+    text = report(["fake_tracker"], tmp_path / "export")
+    assert "fake_tracker (ours)" in text
+    assert "CoTracker" in text

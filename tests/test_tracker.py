@@ -24,12 +24,13 @@ class FakeFlower:
 
     def __init__(self, config):
         self.sigma_scale = float(config.sigma_scale or 0.0)
+        self.shift = np.asarray(config.shift or SHIFT, np.float32)
 
     def forward_batch(self, imgs1, imgs2):
         dt = (imgs2[:, 0, 0, 0] - imgs1[:, 0, 0, 0])  # (N,)
         N, H, W, _ = imgs1.shape
         flow = jnp.broadcast_to(
-            dt[:, None, None, None] * jnp.asarray(SHIFT), (N, H, W, 2))
+            dt[:, None, None, None] * jnp.asarray(self.shift), (N, H, W, 2))
         occl = jnp.zeros((N, H, W), jnp.float32)
         sigma = jnp.broadcast_to(jnp.abs(dt)[:, None, None, None] * self.sigma_scale,
                                  (N, H, W, 1))[..., 0]
