@@ -102,19 +102,54 @@ def _lookup_level(corr_l: jnp.ndarray, coords: jnp.ndarray, radius: int):
             + tap(x0 + 1, y0 + 1, wx * wy))
 
 
-def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
+def _lookup_level_mxu(corr_l: jnp.ndarray, coords: jnp.ndarray, radius: int):
+    """Gather-free window sampling: bilinear interpolation as tent matmuls.
+
+    TPU has no fast hardware gather; instead we express the bilinear window
+    sample as two small matrix contractions on the MXU. For each pixel p the
+    weight of source column xx on window tap i is the bilinear "tent"
+    ``max(0, 1 - |cx + (i - r) - xx|)`` — which is exactly grid_sample's
+    zeros-padding bilinear kernel (out-of-image taps get weight 0). Then
+
+        S[p, i, j] = sum_{yy,xx} Wy[p, j, yy] * corr[p, yy, xx] * Wx[p, i, xx]
+
+    i.e. S = (Wy @ corr @ Wx^T) per pixel: two batched MXU matmuls instead of
+    per-element gathers. Window ordering matches _lookup_level (i offsets x).
+    """
+    B, P, h, w = corr_l.shape
+    n = 2 * radius + 1
+    off = jnp.arange(n, dtype=jnp.float32) - radius
+
+    gx = coords[..., 0:1] + off  # (B, P, n)
+    gy = coords[..., 1:2] + off
+    xx = jnp.arange(w, dtype=jnp.float32)
+    yy = jnp.arange(h, dtype=jnp.float32)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(gx[..., None] - xx))  # (B, P, n, w)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(gy[..., None] - yy))  # (B, P, n, h)
+
+    t = jnp.einsum("bpjy,bpyx->bpjx", wy, corr_l,
+                   preferred_element_type=jnp.float32)        # (B, P, n, w)
+    s = jnp.einsum("bpix,bpjx->bpij", wx, t,
+                   preferred_element_type=jnp.float32)        # (B, P, n, n)
+    return s.reshape(B, P, n * n)
+
+
+def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4,
+                method: str = "mxu") -> jnp.ndarray:
     """Sample the correlation pyramid around per-pixel correspondences.
 
     args:
       pyramid: output of :func:`build_corr_pyramid`.
       coords: (B, H, W, 2) current correspondence coordinates (level-0 scale).
+      method: 'mxu' (tent-weight matmuls, TPU-native) or 'gather'.
     returns:
       (B, H, W, num_levels*(2r+1)^2) float32, levels concatenated last.
     """
     B, H, W, _ = coords.shape
     c = coords.reshape(B, H * W, 2)
+    lookup = _lookup_level_mxu if method == "mxu" else _lookup_level
     out = [
-        _lookup_level(corr_l, c / (2.0 ** lvl), radius)
+        lookup(corr_l, c / (2.0 ** lvl), radius)
         for lvl, corr_l in enumerate(pyramid)
     ]
     return jnp.concatenate(out, axis=-1).reshape(B, H, W, -1)

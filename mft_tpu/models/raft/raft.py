@@ -41,6 +41,7 @@ class RAFTParams:
     corr_levels: int = 4
     corr_radius: int = 4
     normalized_features: bool = False
+    corr_method: str = "mxu"  # 'mxu' (tent-matmul, TPU-native) or 'gather'
     relu_uncertainty: bool = False
     ou_last_iter_only: bool = False
     dropout: float = 0.0
@@ -145,7 +146,8 @@ class RAFT(nn.Module):
         flow_up = occl_up = uncertainty_up = None
         for itr in range(iters):
             coords1 = jax.lax.stop_gradient(coords1)
-            corr = corr_lookup(pyramid, coords1, cfg.corr_radius)
+            corr = corr_lookup(pyramid, coords1, cfg.corr_radius,
+                               method=cfg.corr_method)
 
             flow = coords1 - coords0
             net, up_mask, delta_flow, motion_features = self.update_block(

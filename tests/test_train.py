@@ -1,0 +1,236 @@
+"""Training stack: loss parity vs torch reference, schedule, freezing, data."""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mft_tpu.train.losses import (sequence_flow_loss, sequence_occl_loss,
+                                  sequence_uncertainty_loss)
+from mft_tpu.train.optim import onecycle_linear, make_optimizer, trainable_mask
+
+torch = pytest.importorskip("torch")
+
+
+def _reference_train():
+    import types
+    # the reference hard-imports debugger/vision/telemetry helpers absent here
+    class _Any:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, *a, **k):
+            return a[0] if a else None
+
+    tv_transforms = types.ModuleType("torchvision.transforms")
+    tv_transforms.ColorJitter = _Any
+    tv = types.ModuleType("torchvision")
+    tv.transforms = tv_transforms
+    tb = types.ModuleType("torch.utils.tensorboard")
+    tb.SummaryWriter = _Any
+    for mod, stub_attrs in [("ipdb", {"iex": lambda f: f}),
+                            ("torchvision", None),
+                            ("torchvision.transforms", None),
+                            ("torch.utils.tensorboard", None)]:
+        if mod in sys.modules:
+            continue
+        if mod == "torchvision":
+            sys.modules[mod] = tv
+        elif mod == "torchvision.transforms":
+            sys.modules[mod] = tv_transforms
+        elif mod == "torch.utils.tensorboard":
+            sys.modules[mod] = tb
+        else:
+            stub = types.ModuleType(mod)
+            for k, v in (stub_attrs or {}).items():
+                setattr(stub, k, v)
+            sys.modules[mod] = stub
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    try:
+        from MFT.RAFT import train as ref_train
+        return ref_train
+    except Exception:
+        return None
+
+
+def synth_batch(rng, B=2, H=16, W=20, n_preds=3):
+    flow_gt = rng.standard_normal((B, H, W, 2)).astype(np.float32) * 5
+    valid = (rng.uniform(size=(B, H, W)) > 0.2).astype(np.float32)
+    occl = rng.choice([0.0, 0.5, 1.0], size=(B, H, W), p=[0.6, 0.1, 0.3]).astype(np.float32)
+    flow_preds = [flow_gt + rng.standard_normal((B, H, W, 2)).astype(np.float32)
+                  for _ in range(n_preds)]
+    occl_preds = [rng.standard_normal((B, H, W, 2)).astype(np.float32)
+                  for _ in range(n_preds)]
+    unc_preds = [rng.standard_normal((B, H, W, 1)).astype(np.float32)
+                 for _ in range(n_preds)]
+    return flow_gt, valid, occl, flow_preds, occl_preds, unc_preds
+
+
+def to_torch_chfirst(x):
+    t = torch.from_numpy(np.asarray(x))
+    if t.ndim == 4:
+        return t.permute(0, 3, 1, 2)
+    return t
+
+
+@pytest.mark.parametrize("loss_type", ["L1", "L1_non_occluded",
+                                       "L1_occluded_to_epe3"])
+def test_flow_loss_matches_reference(rng, loss_type):
+    ref = _reference_train()
+    if ref is None:
+        pytest.skip("reference train module not importable")
+    flow_gt, valid, occl, flow_preds, _, _ = synth_batch(rng)
+    ours, m = sequence_flow_loss(
+        [jnp.asarray(p) for p in flow_preds], jnp.asarray(flow_gt),
+        jnp.asarray(valid), occl_gt=jnp.asarray(occl), gamma=0.8,
+        flow_loss_type=loss_type)
+    want, wm = ref.sequence_flow_loss(
+        [to_torch_chfirst(p) for p in flow_preds], to_torch_chfirst(flow_gt),
+        to_torch_chfirst(valid[..., None]), occl_gt=to_torch_chfirst(occl[..., None]),
+        gamma=0.8, flow_loss_type=loss_type)
+    np.testing.assert_allclose(float(ours), float(want), rtol=1e-5)
+    np.testing.assert_allclose(float(m["train/epe"]), wm["train/epe"], rtol=1e-4)
+    np.testing.assert_allclose(float(m["train/1px"]), wm["train/1px"], rtol=1e-4)
+
+
+def test_occl_loss_matches_reference(rng):
+    ref = _reference_train()
+    if ref is None:
+        pytest.skip("reference train module not importable")
+    # B=1: at larger batch the REFERENCE cross-batch-broadcasts its validity
+    # mask (train.py:109 bug, see losses.py docstring); both agree at B=1.
+    flow_gt, valid, occl, _, occl_preds, _ = synth_batch(rng, B=1)
+    ours, _ = sequence_occl_loss(
+        [jnp.asarray(p) for p in occl_preds], jnp.asarray(occl),
+        jnp.asarray(flow_gt), jnp.asarray(valid), gamma=0.8)
+    want, _ = ref.sequence_occl_loss(
+        [to_torch_chfirst(p) for p in occl_preds], to_torch_chfirst(occl[..., None]),
+        to_torch_chfirst(flow_gt), to_torch_chfirst(valid[..., None]), gamma=0.8)
+    np.testing.assert_allclose(float(ours), float(want), rtol=1e-5)
+
+
+@pytest.mark.parametrize("unc_type", ["huber", "huber_non_occluded", "L2",
+                                      "huber_epe_direct"])
+def test_uncertainty_loss_matches_reference(rng, unc_type):
+    ref = _reference_train()
+    if ref is None:
+        pytest.skip("reference train module not importable")
+    flow_gt, valid, occl, flow_preds, _, unc_preds = synth_batch(rng)
+    ours, _ = sequence_uncertainty_loss(
+        [jnp.asarray(p) for p in flow_preds],
+        [jnp.asarray(p) for p in unc_preds],
+        jnp.asarray(flow_gt), jnp.asarray(valid), gamma=0.8,
+        uncertainty_loss_type=unc_type, occl_gt=jnp.asarray(occl))
+    want, _ = ref.sequence_uncertainty_loss(
+        [to_torch_chfirst(p) for p in flow_preds],
+        [to_torch_chfirst(p) for p in unc_preds],
+        to_torch_chfirst(flow_gt), to_torch_chfirst(valid[..., None]), gamma=0.8,
+        uncertainty_loss_type=unc_type, occl_gt=to_torch_chfirst(occl[..., None]))
+    np.testing.assert_allclose(float(ours), float(want), rtol=1e-4)
+
+
+def test_onecycle_matches_torch():
+    max_lr, steps = 1.25e-4, 1000
+    sched = onecycle_linear(max_lr, steps, pct_start=0.05)
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.AdamW([p], lr=max_lr)
+    tsched = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr, steps, pct_start=0.05, cycle_momentum=False,
+        anneal_strategy="linear")
+    torch_lrs = []
+    for _ in range(steps):
+        torch_lrs.append(opt.param_groups[0]["lr"])
+        opt.step()
+        tsched.step()
+    ours = np.array([float(sched(i)) for i in range(steps)])
+    np.testing.assert_allclose(ours, np.array(torch_lrs), rtol=0.02)
+
+
+def test_freeze_masks_only_update_ou_block(rng):
+    """Official recipe: only occlusion_block parameters may change."""
+    from mft_tpu.models.raft.raft import RAFT, RAFTParams
+    import optax
+
+    model = RAFT(cfg=RAFTParams())
+    img = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, img, iters=1)
+    params = variables["params"]
+    tx, _ = make_optimizer(lr=1e-3, num_steps=10, params=params,
+                           trainable_prefixes=("occlusion_block",))
+    opt_state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+
+    from flax import traverse_util
+    old = traverse_util.flatten_dict(params)
+    new = traverse_util.flatten_dict(new_params)
+    for k in old:
+        changed = not np.allclose(np.asarray(old[k]), np.asarray(new[k]))
+        if k[0] == "occlusion_block":
+            assert changed, f"{k} should have been updated"
+        else:
+            assert not changed, f"{k} should be frozen"
+
+
+def test_flow_readers_roundtrip(tmp_path, rng):
+    from mft_tpu.train import flow_readers as fr
+    flow = rng.standard_normal((12, 17, 2)).astype(np.float32) * 10
+    fr.write_flo(tmp_path / "a.flo", flow)
+    np.testing.assert_allclose(fr.read_flo(tmp_path / "a.flo"), flow)
+
+    pfm = rng.standard_normal((9, 11, 3)).astype(np.float32)
+    fr.write_pfm(tmp_path / "a.pfm", pfm)
+    np.testing.assert_allclose(fr.read_pfm(tmp_path / "a.pfm"), pfm)
+
+    kflow = rng.uniform(-30, 30, (8, 10, 2)).astype(np.float32)
+    kvalid = (rng.uniform(size=(8, 10)) > 0.5).astype(np.float32)
+    fr.write_kitti_flow(tmp_path / "k.png", kflow, kvalid)
+    rflow, rvalid = fr.read_kitti_flow(tmp_path / "k.png")
+    np.testing.assert_allclose(rflow, kflow, atol=1 / 64)
+    np.testing.assert_array_equal(rvalid > 0.5, kvalid > 0.5)
+
+
+def test_augmentor_shapes_and_oof(rng):
+    from mft_tpu.train.augment import FlowAugmenter
+    H, W = 96, 128
+    img1 = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+    img2 = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+    flow = rng.standard_normal((H, W, 2)).astype(np.float32) * 3
+    occl = np.zeros((H, W, 1), np.float32)
+    aug = FlowAugmenter(crop_size=(64, 64), seed=0)
+    for _ in range(5):
+        o1, o2, of, ov, oo = aug(img1.copy(), img2.copy(), flow.copy(),
+                                 None, occl.copy())
+        assert o1.shape == (64, 64, 3) and o2.shape == (64, 64, 3)
+        assert of.shape == (64, 64, 2) and ov.shape == (64, 64)
+        assert oo.shape == (64, 64, 1)
+        assert oo.min() >= 0 and oo.max() <= 1
+
+    # out-of-frame endpoints must be marked occluded
+    big_flow = np.full((32, 32, 2), 100.0, np.float32)
+    occ = FlowAugmenter.mark_out_of_frame_occluded(big_flow,
+                                                   np.zeros((32, 32), np.float32))
+    assert occ.min() == 1.0
+
+
+def test_mixed_dataset_weights():
+    from mft_tpu.train.datasets import MixedDataset
+
+    class Dummy:
+        def __init__(self, tag, n):
+            self.tag, self.n = tag, n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return self.tag
+
+    ds = MixedDataset([Dummy("a", 3), Dummy("b", 2)], weights=[2, 1])
+    assert len(ds) == 8
+    tags = [ds[i] for i in range(len(ds))]
+    assert tags.count("a") == 6 and tags.count("b") == 2
