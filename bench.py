@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Headline benchmark: dense-tracking FPS at 512x512, full delta chain.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is FPS / 30 (the north-star target: >=30 FPS dense tracking at
+512x512 with deltas {inf,1,2,4,8,16,32} on one v5e chip, BASELINE.md).
+
+The model runs with deterministic random-init weights (the trained
+checkpoint is not distributed, same as the reference repo) — FPS does not
+depend on weight values. The persistent XLA compilation cache under
+.jax_cache makes repeated runs skip the first-compile cost.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    from mft_tpu.config import Config
+    from mft_tpu.models.raft import RAFTFlow
+    from mft_tpu.tracker import MFT
+
+    flow_cfg = Config()
+    flow_cfg.of_class = RAFTFlow
+    flow_cfg.raft_params = {"occlusion_module": "separate_with_uncertainty"}
+    flow_cfg.model = None
+    flow_cfg.flow_iters = 12
+    cfg = Config()
+    cfg.flow_config = flow_cfg
+    cfg.deltas = [np.inf, 1, 2, 4, 8, 16, 32]
+    cfg.occlusion_threshold = 0.02
+
+    tracker = MFT(cfg)
+    H = W = 512
+    rng = np.random.default_rng(0)
+    n_warm, chunk, n_chunks = 4, 4, 3
+    n_frames = 1 + n_warm + chunk * n_chunks
+    frames = [rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+              for _ in range(n_frames)]
+
+    tracker.init(frames[0])
+    for f in frames[1:1 + n_warm]:  # compile + warm
+        meta = tracker.track(f)
+    np.asarray(meta.result.occlusion[:1, :1])
+
+    # pipelined throughput, measured in chunks (median chunk is robust to
+    # one-off stalls like lazy compilation-cache writes)
+    rates = []
+    pos = 1 + n_warm
+    for _ in range(n_chunks):
+        t0 = time.perf_counter()
+        for f in frames[pos:pos + chunk]:
+            meta = tracker.track(f)
+        np.asarray(meta.result.occlusion[:1, :1])
+        rates.append(chunk / (time.perf_counter() - t0))
+        pos += chunk
+
+    fps = float(np.median(rates))
+    print(json.dumps({
+        "metric": "dense_tracking_fps_512px_full_deltas",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -187,6 +187,29 @@ def chain_results(left: FlowOU, right: FlowOU) -> FlowOU:
     return FlowOU(flow=flow, occlusion=occl, sigma=sigma)
 
 
+def chain_results_packed(left: FlowOU, right: FlowOU) -> FlowOU:
+    """chain_results with ONE packed gather instead of three.
+
+    All three chained quantities sample the right-hand maps at the SAME
+    endpoints (grid + left.flow), so flow/occlusion/sigma are packed into a
+    single (H, W, 4) map and gathered once — numerically identical to
+    :func:`chain_results`, 3x fewer gather ops (gathers are the TPU
+    bottleneck of the tracker step).
+    """
+    H, W = left.flow.shape[0], left.flow.shape[1]
+    packed = jnp.concatenate([
+        right.flow.astype(jnp.float32),
+        right.occlusion[..., None].astype(jnp.float32),
+        right.sigma[..., None].astype(jnp.float32),
+    ], axis=-1)
+    coords_b = grid_coords(H, W) + left.flow.astype(jnp.float32)
+    sampled = bilinear_sample(packed, coords_b)
+    flow = left.flow + sampled[..., :2]
+    occl = jnp.maximum(left.occlusion, sampled[..., 2])
+    sigma = jnp.sqrt(jnp.square(left.sigma) + jnp.square(sampled[..., 3]))
+    return FlowOU(flow=flow, occlusion=occl, sigma=sigma)
+
+
 def forward_backward_error(flow_forward: jnp.ndarray,
                            flow_backward: jnp.ndarray) -> jnp.ndarray:
     """(H, W, 2) forward-backward A->B->A consistency error.

@@ -36,24 +36,29 @@ def avg_pool2x2(x: jnp.ndarray) -> jnp.ndarray:
 
 def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
                        num_levels: int = 4,
-                       normalized_features: bool = False) -> list:
+                       normalized_features: bool = False,
+                       dtype=jnp.float32) -> list:
     """Build the all-pairs correlation pyramid.
 
     args:
       fmap1, fmap2: (B, H, W, C) stride-8 feature maps.
+      dtype: storage/compute dtype of the volume (bf16 halves the HBM
+        traffic of the dominant tensor; the matmul always accumulates f32).
     returns:
-      list of ``num_levels`` arrays, level l: (B, H*W, H/2^l, W/2^l) float32.
+      list of ``num_levels`` arrays, level l: (B, H*W, H/2^l, W/2^l).
     """
     B, H, W, C = fmap1.shape
-    f1 = fmap1.reshape(B, H * W, C).astype(jnp.float32)
-    f2 = fmap2.reshape(B, H * W, C).astype(jnp.float32)
+    f1 = fmap1.reshape(B, H * W, C).astype(dtype)
+    f2 = fmap2.reshape(B, H * W, C).astype(dtype)
     if normalized_features:
-        f1 = f1 / jnp.linalg.norm(f1, axis=-1, keepdims=True)
-        f2 = f2 / jnp.linalg.norm(f2, axis=-1, keepdims=True)
-    # (B, H1*W1, H2*W2) — single MXU matmul
+        f1 = f1 / jnp.linalg.norm(f1.astype(jnp.float32), axis=-1,
+                                  keepdims=True).astype(dtype)
+        f2 = f2 / jnp.linalg.norm(f2.astype(jnp.float32), axis=-1,
+                                  keepdims=True).astype(dtype)
+    # (B, H1*W1, H2*W2) — single MXU matmul, f32 accumulation
     corr = jnp.einsum("bpc,bqc->bpq", f1, f2,
                       preferred_element_type=jnp.float32)
-    corr = corr / jnp.sqrt(jnp.float32(C))
+    corr = (corr / jnp.sqrt(jnp.float32(C))).astype(dtype)
     corr = corr.reshape(B, H * W, H, W)
     pyramid = [corr]
     for _ in range(num_levels - 1):
@@ -124,11 +129,12 @@ def _lookup_level_mxu(corr_l: jnp.ndarray, coords: jnp.ndarray, radius: int):
     gy = coords[..., 1:2] + off
     xx = jnp.arange(w, dtype=jnp.float32)
     yy = jnp.arange(h, dtype=jnp.float32)
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(gx[..., None] - xx))  # (B, P, n, w)
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(gy[..., None] - yy))  # (B, P, n, h)
+    dt = corr_l.dtype
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(gx[..., None] - xx)).astype(dt)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(gy[..., None] - yy)).astype(dt)
 
     t = jnp.einsum("bpjy,bpyx->bpjx", wy, corr_l,
-                   preferred_element_type=jnp.float32)        # (B, P, n, w)
+                   preferred_element_type=jnp.float32).astype(dt)
     s = jnp.einsum("bpix,bpjx->bpij", wx, t,
                    preferred_element_type=jnp.float32)        # (B, P, n, n)
     return s.reshape(B, P, n * n)

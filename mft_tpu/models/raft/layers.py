@@ -29,12 +29,16 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
-        var = jnp.var(x, axis=(-3, -2), keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        # accumulate statistics in f32 even under bf16 compute
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(-3, -2), keepdims=True)
+        var = jnp.var(x32, axis=(-3, -2), keepdims=True)
+        return (((x32 - mean) * jax.lax.rsqrt(var + self.epsilon))
+                .astype(x.dtype))
 
 
-def make_norm(norm_fn: str, features: int, train: bool = False):
+def make_norm(norm_fn: str, features: int, train: bool = False,
+              dtype=jnp.float32):
     """Instantiate the norm layer used inside encoder blocks.
 
     norm_fn in {'group', 'batch', 'instance', 'none'} — reference
@@ -42,10 +46,10 @@ def make_norm(norm_fn: str, features: int, train: bool = False):
     (torch .eval()); group norm uses features//8 groups.
     """
     if norm_fn == "group":
-        return nn.GroupNorm(num_groups=features // 8, epsilon=1e-5)
+        return nn.GroupNorm(num_groups=features // 8, epsilon=1e-5, dtype=dtype)
     if norm_fn == "batch":
         return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                            epsilon=1e-5)
+                            epsilon=1e-5, dtype=dtype)
     if norm_fn == "instance":
         return InstanceNorm()
     if norm_fn == "none":
@@ -62,21 +66,23 @@ class ResidualBlock(nn.Module):
     norm_fn: str = "group"
     stride: int = 1
     train: bool = False
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=_pad(3),
-                    name="conv1")(x)
-        y = make_norm(self.norm_fn, self.planes, self.train)(y)
+                    dtype=self.dtype, name="conv1")(x)
+        y = make_norm(self.norm_fn, self.planes, self.train, self.dtype)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.planes, (3, 3), padding=_pad(3), name="conv2")(y)
-        y = make_norm(self.norm_fn, self.planes, self.train)(y)
+        y = nn.Conv(self.planes, (3, 3), padding=_pad(3), dtype=self.dtype,
+                    name="conv2")(y)
+        y = make_norm(self.norm_fn, self.planes, self.train, self.dtype)(y)
         y = nn.relu(y)
 
         if self.stride != 1:
             x = nn.Conv(self.planes, (1, 1), strides=self.stride, padding="VALID",
-                        name="downsample_conv")(x)
-            x = make_norm(self.norm_fn, self.planes, self.train)(x)
+                        dtype=self.dtype, name="downsample_conv")(x)
+            x = make_norm(self.norm_fn, self.planes, self.train, self.dtype)(x)
         return nn.relu(x + y)
 
 
@@ -89,25 +95,27 @@ class BottleneckBlock(nn.Module):
     norm_fn: str = "group"
     stride: int = 1
     train: bool = False
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         p4 = self.planes // 4
-        y = nn.Conv(p4, (1, 1), padding="VALID", name="conv1")(x)
-        y = make_norm(self.norm_fn, p4, self.train)(y)
+        y = nn.Conv(p4, (1, 1), padding="VALID", dtype=self.dtype, name="conv1")(x)
+        y = make_norm(self.norm_fn, p4, self.train, self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(p4, (3, 3), strides=self.stride, padding=_pad(3),
-                    name="conv2")(y)
-        y = make_norm(self.norm_fn, p4, self.train)(y)
+                    dtype=self.dtype, name="conv2")(y)
+        y = make_norm(self.norm_fn, p4, self.train, self.dtype)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.planes, (1, 1), padding="VALID", name="conv3")(y)
-        y = make_norm(self.norm_fn, self.planes, self.train)(y)
+        y = nn.Conv(self.planes, (1, 1), padding="VALID", dtype=self.dtype,
+                    name="conv3")(y)
+        y = make_norm(self.norm_fn, self.planes, self.train, self.dtype)(y)
         y = nn.relu(y)
 
         if self.stride != 1:
             x = nn.Conv(self.planes, (1, 1), strides=self.stride, padding="VALID",
-                        name="downsample_conv")(x)
-            x = make_norm(self.norm_fn, self.planes, self.train)(x)
+                        dtype=self.dtype, name="downsample_conv")(x)
+            x = make_norm(self.norm_fn, self.planes, self.train, self.dtype)(x)
         return nn.relu(x + y)
 
 
@@ -121,20 +129,23 @@ class BasicEncoder(nn.Module):
     norm_fn: str = "batch"
     train: bool = False
     dropout: float = 0.0
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(64, (7, 7), strides=2, padding=_pad(7), name="conv1")(x)
-        x = make_norm(self.norm_fn, 64, self.train)(x)
+        x = nn.Conv(64, (7, 7), strides=2, padding=_pad(7), dtype=self.dtype,
+                    name="conv1")(x)
+        x = make_norm(self.norm_fn, 64, self.train, self.dtype)(x)
         x = nn.relu(x)
 
         for i, (dim, stride) in enumerate([(64, 1), (96, 2), (128, 2)], start=1):
             x = ResidualBlock(dim, self.norm_fn, stride=stride, train=self.train,
-                              name=f"layer{i}_0")(x)
+                              dtype=self.dtype, name=f"layer{i}_0")(x)
             x = ResidualBlock(dim, self.norm_fn, stride=1, train=self.train,
-                              name=f"layer{i}_1")(x)
+                              dtype=self.dtype, name=f"layer{i}_1")(x)
 
-        x = nn.Conv(self.output_dim, (1, 1), padding="VALID", name="conv2")(x)
+        x = nn.Conv(self.output_dim, (1, 1), padding="VALID", dtype=self.dtype,
+                    name="conv2")(x)
         if self.train and self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=False)(x)
         return x
@@ -149,20 +160,23 @@ class SmallEncoder(nn.Module):
     norm_fn: str = "batch"
     train: bool = False
     dropout: float = 0.0
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(32, (7, 7), strides=2, padding=_pad(7), name="conv1")(x)
-        x = make_norm(self.norm_fn, 32, self.train)(x)
+        x = nn.Conv(32, (7, 7), strides=2, padding=_pad(7), dtype=self.dtype,
+                    name="conv1")(x)
+        x = make_norm(self.norm_fn, 32, self.train, self.dtype)(x)
         x = nn.relu(x)
 
         for i, (dim, stride) in enumerate([(32, 1), (64, 2), (96, 2)], start=1):
             x = BottleneckBlock(dim, self.norm_fn, stride=stride, train=self.train,
-                                name=f"layer{i}_0")(x)
+                                dtype=self.dtype, name=f"layer{i}_0")(x)
             x = BottleneckBlock(dim, self.norm_fn, stride=1, train=self.train,
-                                name=f"layer{i}_1")(x)
+                                dtype=self.dtype, name=f"layer{i}_1")(x)
 
-        x = nn.Conv(self.output_dim, (1, 1), padding="VALID", name="conv2")(x)
+        x = nn.Conv(self.output_dim, (1, 1), padding="VALID", dtype=self.dtype,
+                    name="conv2")(x)
         if self.train and self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=False)(x)
         return x

@@ -42,6 +42,7 @@ class RAFTParams:
     corr_radius: int = 4
     normalized_features: bool = False
     corr_method: str = "mxu"  # 'mxu' (tent-matmul, TPU-native) or 'gather'
+    compute_dtype: str = "float32"  # 'bfloat16' for mixed-precision inference
     relu_uncertainty: bool = False
     ou_last_iter_only: bool = False
     dropout: float = 0.0
@@ -66,6 +67,10 @@ class RAFTParams:
         return ("morelayers" if (self.occlusion_module
                                  and "morelayers" in self.occlusion_module)
                 else "simple")
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
     @property
     def hidden_dim(self) -> int:
@@ -99,39 +104,47 @@ class RAFT(nn.Module):
     train_mode: bool = False
 
     def setup(self):
+        dt = self.cfg.dtype
         if self.cfg.small:
             self.fnet = SmallEncoder(output_dim=128, norm_fn="instance",
-                                     train=self.train_mode, dropout=self.cfg.dropout)
+                                     train=self.train_mode,
+                                     dropout=self.cfg.dropout, dtype=dt)
             self.cnet = SmallEncoder(
                 output_dim=self.cfg.hidden_dim + self.cfg.context_dim,
-                norm_fn="none", train=self.train_mode, dropout=self.cfg.dropout)
+                norm_fn="none", train=self.train_mode,
+                dropout=self.cfg.dropout, dtype=dt)
         else:
             self.fnet = BasicEncoder(output_dim=256, norm_fn="instance",
-                                     train=self.train_mode, dropout=self.cfg.dropout)
+                                     train=self.train_mode,
+                                     dropout=self.cfg.dropout, dtype=dt)
             self.cnet = BasicEncoder(
                 output_dim=self.cfg.hidden_dim + self.cfg.context_dim,
-                norm_fn="batch", train=self.train_mode, dropout=self.cfg.dropout)
-        self.update_block = BasicUpdateBlock(hidden_dim=self.cfg.hidden_dim)
+                norm_fn="batch", train=self.train_mode,
+                dropout=self.cfg.dropout, dtype=dt)
+        self.update_block = BasicUpdateBlock(hidden_dim=self.cfg.hidden_dim,
+                                             dtype=dt)
         if self.cfg.occlusion_estimation:
             self.occlusion_block = OcclusionAndUncertaintyBlock(
-                architecture=self.cfg.ou_architecture)
+                architecture=self.cfg.ou_architecture, dtype=dt)
 
     def __call__(self, image1, image2, iters: int = 12, flow_init=None,
                  test_mode: bool = True, normalise_input: bool = True):
         cfg = self.cfg
         if normalise_input:
-            image1 = 2.0 * (image1 / 255.0) - 1.0
-            image2 = 2.0 * (image2 / 255.0) - 1.0
+            image1 = 2.0 * (image1.astype(jnp.float32) / 255.0) - 1.0
+            image2 = 2.0 * (image2.astype(jnp.float32) / 255.0) - 1.0
+        image1 = image1.astype(cfg.dtype)
+        image2 = image2.astype(cfg.dtype)
 
         B, H, W, _ = image1.shape
         H8, W8 = H // 8, W // 8
 
         # one batched conv pass over both frames (reference extractor.py:171-174)
         fmaps = self.fnet(jnp.concatenate([image1, image2], axis=0))
-        fmap1, fmap2 = fmaps[:B].astype(jnp.float32), fmaps[B:].astype(jnp.float32)
+        fmap1, fmap2 = fmaps[:B], fmaps[B:]
 
         pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels,
-                                     cfg.normalized_features)
+                                     cfg.normalized_features, dtype=cfg.dtype)
 
         cnet = self.cnet(image1)
         net = jnp.tanh(cnet[..., : cfg.hidden_dim])
@@ -152,12 +165,14 @@ class RAFT(nn.Module):
             flow = coords1 - coords0
             net, up_mask, delta_flow, motion_features = self.update_block(
                 net, inp, corr, flow)
+            delta_flow = delta_flow.astype(jnp.float32)  # coords math in f32
             coords1 = coords1 + delta_flow
 
             is_last = itr == iters - 1
             need_up = (not test_mode) or is_last
             if need_up:
-                flow_up = convex_upsample(coords1 - coords0, up_mask,
+                flow_up = convex_upsample(coords1 - coords0,
+                                          up_mask.astype(jnp.float32),
                                           mult_coef=8.0)
                 flow_preds.append(flow_up)
 
@@ -172,11 +187,14 @@ class RAFT(nn.Module):
                     jax.lax.stop_gradient(delta_flow),
                     motion_features,
                 )
-                occl_up = convex_upsample(occlusion, up_mask, mult_coef=1.0)
+                occl_up = convex_upsample(occlusion.astype(jnp.float32),
+                                          up_mask.astype(jnp.float32),
+                                          mult_coef=1.0)
                 occl_preds.append(occl_up)
                 if cfg.uncertainty_estimation:
                     uncertainty_up = convex_upsample(
-                        uncertainty, up_mask,
+                        uncertainty.astype(jnp.float32),
+                        up_mask.astype(jnp.float32),
                         mult_coef=cfg.uncertainty_upsample_mult)
                     if cfg.relu_uncertainty:
                         uncertainty_up = nn.relu(uncertainty_up)

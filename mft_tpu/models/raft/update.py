@@ -22,57 +22,74 @@ class FlowHead(nn.Module):
     """3x3 conv -> relu -> 3x3 conv to ``out_dim``. Reference update.py:6-14."""
     hidden_dim: int = 256
     out_dim: int = 2
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.hidden_dim, (3, 3), padding=_pad(3), name="conv1")(x)
+        x = nn.Conv(self.hidden_dim, (3, 3), padding=_pad(3), dtype=self.dtype,
+                    name="conv1")(x)
         x = nn.relu(x)
-        return nn.Conv(self.out_dim, (3, 3), padding=_pad(3), name="conv2")(x)
+        return nn.Conv(self.out_dim, (3, 3), padding=_pad(3), dtype=self.dtype,
+                       name="conv2")(x)
 
 
 class SimpleHead(nn.Module):
     """'simple' OU head variant: conv-relu-conv. Reference update.py:17-75."""
     hidden_dim: int
     out_dim: int
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.hidden_dim, (3, 3), padding=_pad(3), name="conv1")(x)
+        x = nn.Conv(self.hidden_dim, (3, 3), padding=_pad(3), dtype=self.dtype,
+                    name="conv1")(x)
         x = nn.relu(x)
-        return nn.Conv(self.out_dim, (3, 3), padding=_pad(3), name="conv2")(x)
+        return nn.Conv(self.out_dim, (3, 3), padding=_pad(3), dtype=self.dtype,
+                       name="conv2")(x)
 
 
 class MoreLayersHead(nn.Module):
     """'morelayers' OU head variant: 4 convs. Reference update.py:27-36."""
     hidden_dim: int
     out_dim: int
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for i in range(3):
-            x = nn.Conv(self.hidden_dim, (3, 3), padding=_pad(3), name=f"conv{i}")(x)
+            x = nn.Conv(self.hidden_dim, (3, 3), padding=_pad(3),
+                        dtype=self.dtype, name=f"conv{i}")(x)
             x = nn.relu(x)
-        return nn.Conv(self.out_dim, (3, 3), padding=_pad(3), name="conv3")(x)
+        return nn.Conv(self.out_dim, (3, 3), padding=_pad(3), dtype=self.dtype,
+                       name="conv3")(x)
 
 
 class BasicMotionEncoder(nn.Module):
     """Encode (corr window sample, flow) into 128-ch motion features."""
     corr_channels: int = 324  # 4 levels * 9^2
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, flow, corr):
-        cor = nn.relu(nn.Conv(256, (1, 1), padding="VALID", name="convc1")(corr))
-        cor = nn.relu(nn.Conv(192, (3, 3), padding=_pad(3), name="convc2")(cor))
-        flo = nn.relu(nn.Conv(128, (7, 7), padding=_pad(7), name="convf1")(flow))
-        flo = nn.relu(nn.Conv(64, (3, 3), padding=_pad(3), name="convf2")(flo))
-        out = nn.relu(nn.Conv(126, (3, 3), padding=_pad(3), name="conv")(
-            jnp.concatenate([cor, flo], axis=-1)))
+        flow = flow.astype(self.dtype)
+        corr = corr.astype(self.dtype)
+        cor = nn.relu(nn.Conv(256, (1, 1), padding="VALID", dtype=self.dtype,
+                              name="convc1")(corr))
+        cor = nn.relu(nn.Conv(192, (3, 3), padding=_pad(3), dtype=self.dtype,
+                              name="convc2")(cor))
+        flo = nn.relu(nn.Conv(128, (7, 7), padding=_pad(7), dtype=self.dtype,
+                              name="convf1")(flow))
+        flo = nn.relu(nn.Conv(64, (3, 3), padding=_pad(3), dtype=self.dtype,
+                              name="convf2")(flo))
+        out = nn.relu(nn.Conv(126, (3, 3), padding=_pad(3), dtype=self.dtype,
+                              name="conv")(jnp.concatenate([cor, flo], axis=-1)))
         return jnp.concatenate([out, flow], axis=-1)  # 128 ch
 
 
 class SepConvGRU(nn.Module):
     """Separable ConvGRU: horizontal (1,5) pass then vertical (5,1) pass."""
     hidden_dim: int = 128
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, h, x):
@@ -80,11 +97,11 @@ class SepConvGRU(nn.Module):
                                    ("2", (5, 1), [(2, 2), (0, 0)])):
             hx = jnp.concatenate([h, x], axis=-1)
             z = nn.sigmoid(nn.Conv(self.hidden_dim, ksize, padding=pad,
-                                   name=f"convz{suffix}")(hx))
+                                   dtype=self.dtype, name=f"convz{suffix}")(hx))
             r = nn.sigmoid(nn.Conv(self.hidden_dim, ksize, padding=pad,
-                                   name=f"convr{suffix}")(hx))
+                                   dtype=self.dtype, name=f"convr{suffix}")(hx))
             q = nn.tanh(nn.Conv(self.hidden_dim, ksize, padding=pad,
-                                name=f"convq{suffix}")(
+                                dtype=self.dtype, name=f"convq{suffix}")(
                 jnp.concatenate([r * h, x], axis=-1)))
             h = (1.0 - z) * h + z * q
         return h
@@ -93,17 +110,21 @@ class SepConvGRU(nn.Module):
 class BasicUpdateBlock(nn.Module):
     """One RAFT refinement step: motion enc -> GRU -> flow delta + up-mask."""
     hidden_dim: int = 128
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, net, inp, corr, flow):
-        motion_features = BasicMotionEncoder(name="encoder")(flow, corr)
+        motion_features = BasicMotionEncoder(dtype=self.dtype,
+                                             name="encoder")(flow, corr)
         gru_in = jnp.concatenate([inp, motion_features], axis=-1)
-        net = SepConvGRU(self.hidden_dim, name="gru")(net, gru_in)
-        delta_flow = FlowHead(256, 2, name="flow_head")(net)
+        net = SepConvGRU(self.hidden_dim, dtype=self.dtype, name="gru")(net, gru_in)
+        delta_flow = FlowHead(256, 2, dtype=self.dtype, name="flow_head")(net)
 
         # mask head scaled 0.25 to balance gradients (reference update.py:237)
-        m = nn.relu(nn.Conv(256, (3, 3), padding=_pad(3), name="mask_conv1")(net))
-        up_mask = 0.25 * nn.Conv(576, (1, 1), padding="VALID", name="mask_conv2")(m)
+        m = nn.relu(nn.Conv(256, (3, 3), padding=_pad(3), dtype=self.dtype,
+                            name="mask_conv1")(net))
+        up_mask = 0.25 * nn.Conv(576, (1, 1), padding="VALID", dtype=self.dtype,
+                                 name="mask_conv2")(m)
         return net, up_mask, delta_flow, motion_features
 
 
@@ -114,12 +135,15 @@ class OcclusionAndUncertaintyBlock(nn.Module):
     motion_features(128)] = 712 channels (reference raft.py:47, update.py:197).
     """
     architecture: str = "simple"
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, net, inp, corr, flow, delta_flow, motion_features):
-        x = jnp.concatenate([net, inp, corr, flow, delta_flow, motion_features],
-                            axis=-1)
+        dt = self.dtype
+        x = jnp.concatenate([net.astype(dt), inp.astype(dt), corr.astype(dt),
+                             flow.astype(dt), delta_flow.astype(dt),
+                             motion_features.astype(dt)], axis=-1)
         head = SimpleHead if self.architecture == "simple" else MoreLayersHead
-        occl = head(128, 2, name="occl_head")(x)
-        uncertainty = head(128, 1, name="uncertainty_head")(x)
+        occl = head(128, 2, dtype=dt, name="occl_head")(x)
+        uncertainty = head(128, 1, dtype=dt, name="uncertainty_head")(x)
         return occl, uncertainty

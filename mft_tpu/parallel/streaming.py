@@ -1,0 +1,140 @@
+"""Batched multi-clip dense-tracking throughput mode (pod-slice streaming).
+
+The throughput counterpart of the single-clip MFT tracker: C video clips are
+tracked in lockstep; all per-frame work — the (C * n_delta)-pair RAFT
+forward, chaining, selection, memory update — is one SPMD program sharded
+over the mesh ``data`` axis (clips are embarrassingly parallel, so sharding
+the clip axis keeps every collective trivial and every chip dense).
+
+This mode has no equivalent in the reference (it tracks batch-1 frame pairs,
+MFT/raft.py:41-45) — it exists to saturate TPU pod slices
+(BASELINE.json configs[4]).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mft_tpu.core.flowou import FlowOU, chain_results_packed
+from mft_tpu.tracker.mft import MFT
+from mft_tpu.tracker.select import select_best
+
+
+class StreamingTracker:
+    """Track ``n_clips`` equally-sized clips in lockstep.
+
+    API: ``init(frames)`` with (C, H, W, 3) uint8 BGR template frames, then
+    ``track(frames)`` per timestep -> batched FlowOU (leading clip axis).
+    All clips share the tracker config (deltas, occlusion threshold).
+    """
+
+    def __init__(self, config, n_clips, mesh=None):
+        self.C = config
+        self.n_clips = n_clips
+        self.mesh = mesh
+        self.flower = config.flow_config.of_class(config.flow_config)
+        deltas = list(config.deltas)
+        self.deltas = sorted(deltas, key=lambda d: 0 if np.isinf(d) else d)
+        finite = [int(d) for d in self.deltas if np.isfinite(d)]
+        self.ring = max(finite) if finite else 1
+        self.template_slot = self.ring
+        self._step = None
+        self._single = MFT.__new__(MFT)  # host-side candidate math reuse
+        self._single.deltas = self.deltas
+        self._single.ring = self.ring
+        self._single.template_slot = self.template_slot
+        self._single.C = config
+
+    def _put(self, x):
+        if self.mesh is None:
+            return x
+        return jax.device_put(x, NamedSharding(self.mesh, P("data")))
+
+    def init(self, frames, start_frame_i=0):
+        frames = np.asarray(frames)
+        assert frames.shape[0] == self.n_clips
+        C, H, W, _ = frames.shape
+        assert H % 8 == 0 and W % 8 == 0, \
+            "streaming mode expects /8 resolutions (no per-clip padding)"
+        self.img_H, self.img_W = H, W
+        self.start_frame_i = int(start_frame_i)
+        self.current_frame_i = self.start_frame_i
+        self._single.start_frame_i = self.start_frame_i
+        self._single.time_direction = 1
+        imgs = self._to_device(frames)
+        S = self.ring + 1
+        self.mem_imgs = self._put(
+            jnp.zeros((C, S, H, W, 3), imgs.dtype).at[:, self.template_slot].set(imgs))
+        self.mem_flow = self._put(jnp.zeros((C, S, H, W, 2), jnp.float32))
+        self.mem_occl = self._put(jnp.zeros((C, S, H, W), jnp.float32))
+        self.mem_sigma = self._put(jnp.zeros((C, S, H, W), jnp.float32))
+        return FlowOU(jnp.zeros((C, H, W, 2)), jnp.zeros((C, H, W)),
+                      jnp.zeros((C, H, W)))
+
+    def track(self, frames):
+        self.current_frame_i += 1
+        t = self.current_frame_i
+        imgs = self._put(self._to_device(np.asarray(frames)))  # (C, H, W, 3)
+        cands = self._single._candidates(t)
+        slots = jnp.asarray([c.slot for c in cands], jnp.int32)
+        valid = jnp.asarray([c.valid for c in cands], bool)
+        wslot = jnp.int32(t % self.ring)
+        step = self._get_step()
+        (self.mem_imgs, self.mem_flow, self.mem_occl, self.mem_sigma,
+         result) = step(self.mem_imgs, self.mem_flow, self.mem_occl,
+                        self.mem_sigma, imgs, slots, valid, wslot,
+                        self.flower.variables)
+        return result
+
+    def _get_step(self):
+        if self._step is not None:
+            return self._step
+        occl_thresh = float(self.C.occlusion_threshold or 0.02)
+        n_delta = len(self.deltas)
+        model = self.flower.model
+        iters = self.flower.iters
+
+        def per_clip(mem_imgs, mem_flow, mem_occl, mem_sigma, img,
+                     flows, occls, sigmas, slots, valid, wslot):
+            left = FlowOU(jnp.take(mem_flow, slots, axis=0),
+                          jnp.take(mem_occl, slots, axis=0),
+                          jnp.take(mem_sigma, slots, axis=0))
+            right = FlowOU(flows, occls, sigmas)
+            chained = jax.vmap(chain_results_packed)(left, right)
+            result = select_best(chained.flow, chained.occlusion,
+                                 chained.sigma, valid, occl_thresh)
+            mem_imgs = mem_imgs.at[wslot].set(img)
+            mem_flow = mem_flow.at[wslot].set(result.flow)
+            mem_occl = mem_occl.at[wslot].set(result.occlusion)
+            mem_sigma = mem_sigma.at[wslot].set(result.sigma)
+            return mem_imgs, mem_flow, mem_occl, mem_sigma, result
+
+        def step(mem_imgs, mem_flow, mem_occl, mem_sigma, imgs, slots, valid,
+                 wslot, variables):
+            C = imgs.shape[0]
+            # (C, n_delta, H, W, 3) pair batch -> one big RAFT forward
+            left_imgs = jax.vmap(lambda m: jnp.take(m, slots, axis=0))(mem_imgs)
+            right_imgs = jnp.broadcast_to(imgs[:, None], left_imgs.shape)
+            flat = lambda x: x.reshape(C * n_delta, *x.shape[2:])
+            out = model.apply(variables, flat(left_imgs), flat(right_imgs),
+                              iters=iters, test_mode=True)
+            flow = out["flow"].reshape(C, n_delta, *out["flow"].shape[1:])
+            occl = jax.nn.softmax(out["occlusion"], axis=-1)[..., 1].reshape(
+                C, n_delta, *out["flow"].shape[1:3])
+            sigma = jnp.sqrt(jnp.exp(out["uncertainty"][..., 0])).reshape(
+                C, n_delta, *out["flow"].shape[1:3])
+            return jax.vmap(per_clip, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None,
+                                               None, None))(
+                mem_imgs, mem_flow, mem_occl, mem_sigma, imgs,
+                flow, occl, sigma, slots, valid, wslot)
+
+        self._step = jax.jit(step, donate_argnums=(0, 1, 2, 3))
+        return self._step
+
+    @staticmethod
+    def _to_device(frames):
+        """(C, H, W, 3) uint8 BGR -> uint8 RGB device array (f32 passthrough)."""
+        if frames.dtype == np.uint8:
+            frames = np.ascontiguousarray(frames[..., ::-1])
+        return jnp.asarray(frames)

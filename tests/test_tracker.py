@@ -27,6 +27,9 @@ class FakeFlower:
         self.shift = np.asarray(config.shift or SHIFT, np.float32)
 
     def forward_batch(self, imgs1, imgs2):
+        # cast first (frames may arrive as uint8, like for the real model)
+        imgs1 = imgs1.astype(jnp.float32)
+        imgs2 = imgs2.astype(jnp.float32)
         dt = (imgs2[:, 0, 0, 0] - imgs1[:, 0, 0, 0])  # (N,)
         N, H, W, _ = imgs1.shape
         flow = jnp.broadcast_to(
