@@ -16,9 +16,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from mft_tpu.core.flowou import FlowOU, chain_results_packed
+from mft_tpu.core.flowou import FlowOU
+from mft_tpu.tracker.fused import chain_select
 from mft_tpu.tracker.mft import MFT
-from mft_tpu.tracker.select import select_best
 
 
 class StreamingTracker:
@@ -101,9 +101,7 @@ class StreamingTracker:
                           jnp.take(mem_occl, slots, axis=0),
                           jnp.take(mem_sigma, slots, axis=0))
             right = FlowOU(flows, occls, sigmas)
-            chained = jax.vmap(chain_results_packed)(left, right)
-            result = select_best(chained.flow, chained.occlusion,
-                                 chained.sigma, valid, occl_thresh)
+            result = chain_select(left, right, valid, occl_thresh)
             mem_imgs = mem_imgs.at[wslot].set(img)
             mem_flow = mem_flow.at[wslot].set(result.flow)
             mem_occl = mem_occl.at[wslot].set(result.occlusion)

@@ -1,0 +1,94 @@
+"""Fused chain+select: chain occlusion/sigma for all candidates, select,
+then chain flow ONLY for the per-pixel winner.
+
+Numerically equivalent to chain-all-then-select (the selection score uses
+only chained sigma and occlusion, reference MFT/MFT.py:114-132; the chained
+flow of losing candidates is never observed), but gathers ~40% fewer bytes —
+gathers are the TPU cost of the tracker step.
+
+The winner's right-hand flow is sampled from the candidate-stacked source
+(N*H, W, 2) with block-local zeros padding: a bilinear tap that leaves the
+winner's HxW block contributes zero, exactly like sampling that candidate's
+map alone.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from mft_tpu.core.coords import grid_coords
+from mft_tpu.core.flowou import FlowOU, invalid_mask
+from mft_tpu.core.interp import bilinear_sample
+
+
+def _sample_stacked_flow(right_flow, coords, block_idx):
+    """Bilinear-sample per-pixel-selected candidate flow maps.
+
+    args:
+      right_flow: (N, H, W, 2) candidate flow maps.
+      coords: (H, W, 2) sample positions (shared grid + selected left flow).
+      block_idx: (H, W) int32 selected candidate per pixel.
+    returns: (H, W, 2) sampled flow with per-candidate zeros padding.
+    """
+    N, H, W, C = right_flow.shape
+    src = right_flow.reshape(N * H, W, C)
+    x = coords[..., 0]
+    y = coords[..., 1]
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = x - x0f
+    wy = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    base = block_idx * H
+
+    def tap(xi, yi, w):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        rows = base + jnp.clip(yi, 0, H - 1)
+        v = src[rows, jnp.clip(xi, 0, W - 1)]
+        return jnp.where(valid[..., None], v, 0.0) * w[..., None]
+
+    return (tap(x0, y0, (1 - wx) * (1 - wy))
+            + tap(x0 + 1, y0, wx * (1 - wy))
+            + tap(x0, y0 + 1, (1 - wx) * wy)
+            + tap(x0 + 1, y0 + 1, wx * wy))
+
+
+def chain_select(left: FlowOU, right: FlowOU, valid: jnp.ndarray,
+                 occlusion_threshold: float = 0.02) -> FlowOU:
+    """args: left/right FlowOU with stacked candidate axis (N, H, W, ...);
+    valid (N,) candidate mask. returns the selected chained FlowOU (H, W, ...).
+    """
+    N, H, W = left.occlusion.shape
+    grid = grid_coords(H, W)
+    coords_b = grid[None] + left.flow.astype(jnp.float32)  # (N, H, W, 2)
+
+    # chain occl+sigma for every candidate: one packed 2ch gather each
+    packed = jnp.stack([right.occlusion, right.sigma], axis=-1)  # (N, H, W, 2)
+    sampled = jax.vmap(bilinear_sample)(packed, coords_b)
+    chained_occl = jnp.maximum(left.occlusion, sampled[..., 0])
+    chained_sigma = jnp.sqrt(jnp.square(left.sigma)
+                             + jnp.square(sampled[..., 1]))
+
+    # selection on (-sigma, occlusion mask, validity); first max wins
+    neg_inf = jnp.float32(-jnp.inf)
+    scores = jnp.where(chained_occl > occlusion_threshold, neg_inf,
+                       -chained_sigma)
+    scores = jnp.where(valid[:, None, None], scores, neg_inf)
+    best = jnp.argmax(scores, axis=0)  # (H, W)
+
+    sel = lambda arr: jnp.take_along_axis(
+        arr.reshape(N, H * W, -1),
+        best.reshape(1, H * W, 1), axis=0)[0].reshape(H, W, -1)
+    sel_left_flow = sel(left.flow)
+    sel_occl = sel(chained_occl[..., None])[..., 0]
+    sel_sigma = sel(chained_sigma[..., None])[..., 0]
+
+    # chain flow only for the winner
+    coords_sel = grid + sel_left_flow.astype(jnp.float32)
+    sampled_flow = _sample_stacked_flow(right.flow.astype(jnp.float32),
+                                        coords_sel, best)
+    sel_flow = sel_left_flow + sampled_flow
+
+    inval = invalid_mask(sel_flow)
+    sel_occl = jnp.where(inval, 1.0, sel_occl)
+    return FlowOU(flow=sel_flow, occlusion=sel_occl, sigma=sel_sigma)

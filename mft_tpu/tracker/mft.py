@@ -32,9 +32,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mft_tpu.core.flowou import (FlowOU, chain_results_packed,
-                                 identity_flowou)
-from mft_tpu.tracker.select import select_best
+from mft_tpu.core.flowou import FlowOU, identity_flowou
+from mft_tpu.tracker.fused import chain_select
 
 logger = logging.getLogger(__name__)
 
@@ -197,10 +196,9 @@ class MFT:
                           occlusion=jnp.take(mem_occl, slots, axis=0),
                           sigma=jnp.take(mem_sigma, slots, axis=0))
             right = FlowOU(flow=flows, occlusion=occls, sigma=sigmas)
-            # packed variant: one gather per candidate instead of three
-            chained = jax.vmap(chain_results_packed)(left, right)
-            result = select_best(chained.flow, chained.occlusion, chained.sigma,
-                                 valid, occl_thresh)
+            # fused select-late path: chain occl/sigma for all candidates,
+            # chain flow only for the per-pixel winner (fewer gathers)
+            result = chain_select(left, right, valid, occl_thresh)
             mem_imgs = mem_imgs.at[wslot].set(img)
             mem_flow = mem_flow.at[wslot].set(result.flow)
             mem_occl = mem_occl.at[wslot].set(result.occlusion)

@@ -233,7 +233,9 @@ class KubricLongTerm(FlowDataset):
             flow_zero, _, _ = fr.read_flowou_png(self.flow_zero_list[index])
             # the frame-0 marker flow is 0.0 on background, 0.5 on objects
             obj = flow_zero[..., 0] > 0.25
-            flow_zero = np.where(obj[..., None], 0.5, 0.0).astype(np.float32)
+            flow_zero = np.broadcast_to(
+                np.where(obj[..., None], 0.5, 0.0), flow.shape
+            ).astype(np.float32)
             obj_f = obj.astype(np.float32) - 0.5
             flow = flow - flow_zero
             flow = self._bw_warp(flow, -flow_zero)
