@@ -90,23 +90,40 @@ class MFT:
 
         Reference parity: MFT/MFT.py:55-154.
         """
+        from mft_tpu.utils.timing import general_time_measurer
+        timers_on = bool(self.C.timers_enabled)
+        sync = (lambda: jax.block_until_ready(self.mem_flow)) if timers_on else None
+
         self.current_frame_i += self.time_direction
         t = self.current_frame_i
         img = self._to_device(input_img)
 
         cands = self._candidates(t)
+        flow_timer = general_time_measurer("flow+chain", active=timers_on,
+                                           device_sync_fn=sync, start_now=True)
         flows, occls, sigmas = self._acquire_flows(img, cands, t)
+        if timers_on:
+            jax.block_until_ready(flows)
+        flow_timer.stop()
 
         slots = jnp.asarray([c.slot for c in cands], jnp.int32)
         valid = jnp.asarray([c.valid for c in cands], bool)
         wslot = jnp.int32(t % self.ring)
 
+        sel_timer = general_time_measurer("selection", active=timers_on,
+                                          start_now=True)
         step = self._get_step()
         (self.mem_imgs, self.mem_flow, self.mem_occl, self.mem_sigma,
          result) = step(self.mem_imgs, self.mem_flow, self.mem_occl,
                         self.mem_sigma, img, flows, occls, sigmas,
                         slots, valid, wslot,
                         )
+        if timers_on:
+            jax.block_until_ready(result.flow)
+        sel_timer.stop()
+        flow_timer.report("sum")
+        sel_timer.report("sum")
+
         meta = SimpleNamespace()
         meta.result = result
         return meta
