@@ -109,6 +109,21 @@ def run(args):
                                 pred_tracks[mask, frame_i, :] = coords
                                 pred_occluded[mask, frame_i] = occl
 
+                            # optional dense flowou export from the template
+                            # frame (reference run_MFT_tapvid.py:210-217)
+                            if (args.write_flow and start_frame == 0
+                                    and query_mode == "first"
+                                    and direction == "forward"):
+                                flowou_dir = (export_root / cfg.name
+                                              / "flowous" / name)
+                                flowou_dir.mkdir(parents=True, exist_ok=True)
+                                for frame_i in frame_gen:
+                                    from mft_tpu.core.flowou import FlowOU
+                                    r = metas[frame_i].result
+                                    FlowOU(r.flow, r.occlusion, r.sigma).write(
+                                        flowou_dir
+                                        / f"0--{frame_i}.flowouX16.pkl")
+
                     H, W = video.shape[1], video.shape[2]
                     scale = np.array([256.0 / W, 256.0 / H]).reshape(1, 1, 1, 2)
                     out = {"tracks": pred_tracks[None] * scale,
@@ -135,6 +150,8 @@ def get_parser():
     parser.add_argument("--seq", nargs="*", default=None)
     parser.add_argument("--cont", action="store_true",
                         help="skip sequences with existing results")
+    parser.add_argument("--write_flow", action="store_true",
+                        help="also export dense template->frame flowou files")
     parser.add_argument("--ram_cache_limit", type=float, default=10,
                         help="GB of host RAM for the flow cache")
     parser.add_argument("--device_cache_limit", type=float, default=5,
