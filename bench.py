@@ -29,7 +29,8 @@ def main():
 
     flow_cfg = Config()
     flow_cfg.of_class = RAFTFlow
-    flow_cfg.raft_params = {"occlusion_module": "separate_with_uncertainty"}
+    flow_cfg.raft_params = {"occlusion_module": "separate_with_uncertainty",
+                            "compute_dtype": "bfloat16"}
     flow_cfg.model = None
     flow_cfg.flow_iters = 12
     cfg = Config()

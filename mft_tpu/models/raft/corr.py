@@ -141,18 +141,30 @@ def _lookup_level_mxu(corr_l: jnp.ndarray, coords: jnp.ndarray, radius: int):
 
 
 def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4,
-                method: str = "mxu") -> jnp.ndarray:
+                method: str = "auto") -> jnp.ndarray:
     """Sample the correlation pyramid around per-pixel correspondences.
 
     args:
       pyramid: output of :func:`build_corr_pyramid`.
       coords: (B, H, W, 2) current correspondence coordinates (level-0 scale).
-      method: 'mxu' (tent-weight matmuls, TPU-native) or 'gather'.
+      method: 'pallas' (fused VMEM kernel, ops/corr_lookup_pallas.py),
+        'mxu' (tent-weight matmuls in XLA), 'gather' (4-tap take_along_axis),
+        or 'auto' (pallas on TPU, mxu elsewhere; falls back to mxu when the
+        pixel count has no power-of-two tiling).
     returns:
       (B, H, W, num_levels*(2r+1)^2) float32, levels concatenated last.
     """
     B, H, W, _ = coords.shape
     c = coords.reshape(B, H * W, 2)
+    if method in ("auto", "pallas"):
+        from mft_tpu.ops.corr_lookup_pallas import corr_lookup_pallas, _tile_p
+        use_pallas = method == "pallas" or jax.default_backend() == "tpu"
+        # f32 blocks need smaller tiles to fit double-buffered VMEM
+        cap = 128 if pyramid[0].dtype == jnp.bfloat16 else 64
+        if use_pallas and _tile_p(H * W, cap) >= 8:
+            out = corr_lookup_pallas(pyramid, c, radius, tile_p=cap)
+            return out.reshape(B, H, W, -1)
+        method = "mxu"
     lookup = _lookup_level_mxu if method == "mxu" else _lookup_level
     out = [
         lookup(corr_l, c / (2.0 ** lvl), radius)

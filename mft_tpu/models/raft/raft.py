@@ -41,7 +41,7 @@ class RAFTParams:
     corr_levels: int = 4
     corr_radius: int = 4
     normalized_features: bool = False
-    corr_method: str = "mxu"  # 'mxu' (tent-matmul, TPU-native) or 'gather'
+    corr_method: str = "auto"  # 'auto'|'pallas'|'mxu'|'gather' (corr.py)
     compute_dtype: str = "float32"  # 'bfloat16' for mixed-precision inference
     relu_uncertainty: bool = False
     ou_last_iter_only: bool = False

@@ -50,7 +50,8 @@ def raft_params_from_config(raft_kwargs) -> RAFTParams:
         occlusion_module=get("occlusion_module", "separate_with_uncertainty"),
         normalized_features=bool(get("normalized_features", False)),
         relu_uncertainty=bool(get("relu_uncertainty", False)),
-        corr_method=str(get("corr_method", "mxu")),
+        corr_method=str(get("corr_method", "auto")),
+        compute_dtype=str(get("compute_dtype", "float32")),
         ou_last_iter_only=bool(get("OU_last_iter_only", False)),
     )
 

@@ -1,0 +1,244 @@
+"""Fused Pallas TPU kernel for the RAFT correlation-pyramid lookup.
+
+This is the TPU-native equivalent of the reference's CUDA kernel
+(MFT/RAFT/alt_cuda_corr/correlation_kernel.cu:19-119): per query pixel,
+sample a bilinear (2r+1)^2 window around its current correspondence from
+every pyramid level. The XLA einsum formulation (models/raft/corr.py,
+``_lookup_level_mxu``) materializes the tent-weight tensors and windowed
+intermediates in HBM — ~6 GB of traffic per GRU iteration at 512x512.
+This kernel keeps everything in VMEM: each (TILE_P, h, w) block of the
+volume is read from HBM exactly once per lookup and contracted in-core.
+
+Math (identical to _lookup_level_mxu, zeros-padding bilinear semantics):
+    S[p, i, j] = sum_{y, x} Wy[p, j, y] * corr[p, y, x] * Wx[p, i, x]
+with tent weights  W[p, k, t] = max(0, 1 - |c_p + (k - r) - t|),
+window channel k = i * (2r+1) + j  <->  offset (dx = i - r, dy = j - r)
+(the reference's transposed-offset quirk, MFT/RAFT/core/corr.py:38-44).
+
+Two layouts:
+- :func:`corr_lookup_pallas`   — volume (B, P, h, w) (pixel-major, matches
+  ``build_corr_pyramid``); batched MXU dots per pixel tile.
+- :func:`corr_lookup_pallas_t` — volume (B, h, w, P) (pixels on lanes);
+  the y/x contractions run as full-width VPU FMAs. Requires the transposed
+  pyramid from ``build_corr_pyramid_t``.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _tile_p(P: int, cap: int = 256) -> int:
+    """Largest power-of-two divisor of P, capped (0 if P has none >= 8)."""
+    t = P & (-P)  # largest power of two dividing P
+    t = min(t, cap)
+    return t if t >= 8 else 0
+
+
+# --------------------------------------------------------------------------- #
+# layout A: (B, P, h, w) pixel-major blocks, batched MXU dots
+# --------------------------------------------------------------------------- #
+def _kernel_pixel_major(coords_ref, *rest, radius: int, tile_p: int):
+    n = 2 * radius + 1
+    corr_refs, out_ref = rest[:-1], rest[-1]
+    c = coords_ref[0]                     # (TILE_P, 2) f32, level-0 scale
+    cx = c[:, 0][:, None, None]           # (TILE_P, 1, 1)
+    cy = c[:, 1][:, None, None]
+
+    outs = []
+    for lvl, ref in enumerate(corr_refs):
+        corr = ref[0]                     # (TILE_P, h, w)
+        _, h, w = corr.shape
+        dt = corr.dtype
+        inv = 1.0 / (2.0 ** lvl)
+
+        ky = jax.lax.broadcasted_iota(jnp.int32, (tile_p, n, h), 1).astype(jnp.float32) - radius
+        yy = jax.lax.broadcasted_iota(jnp.int32, (tile_p, n, h), 2).astype(jnp.float32)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(cy * inv + ky - yy)).astype(dt)
+
+        kx = jax.lax.broadcasted_iota(jnp.int32, (tile_p, n, w), 1).astype(jnp.float32) - radius
+        xx = jax.lax.broadcasted_iota(jnp.int32, (tile_p, n, w), 2).astype(jnp.float32)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(cx * inv + kx - xx)).astype(dt)
+
+        # T[p, j, x] = sum_y Wy[p, j, y] corr[p, y, x]      (batched MXU dot)
+        t = jax.lax.dot_general(
+            wy, corr,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dt)
+        # S[p, i, j] = sum_x Wx[p, i, x] T[p, j, x]
+        s = jax.lax.dot_general(
+            wx, t,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        # (tp, n, n) -> (tp, n*n) written as n static column-slices
+        # (Mosaic supports neither the relayouting reshape nor a wide
+        # lane-concatenate of 9-wide vectors)
+        base = lvl * n * n
+        for i in range(n):
+            out_ref[0, :, base + i * n: base + (i + 1) * n] = s[:, i, :]
+
+
+def corr_lookup_pallas(pyramid, coords, radius: int = 4, tile_p: int = 256):
+    """Fused pyramid lookup, pixel-major volume layout.
+
+    args:
+      pyramid: list of (B, P, h_l, w_l) arrays (f32 or bf16).
+      coords: (B, P, 2) float32 (x, y) centers at level-0 scale.
+    returns:
+      (B, P, L*(2r+1)^2) float32; levels concatenated last, window channel
+      k = i*(2r+1)+j with i offsetting x (reference ordering).
+    """
+    B, P, _, _ = pyramid[0].shape
+    n = 2 * radius + 1
+    L = len(pyramid)
+    tp = _tile_p(P, tile_p)
+    if tp == 0:
+        raise ValueError(f"P={P} has no power-of-two tiling")
+
+    grid = (B, P // tp)
+    in_specs = [pl.BlockSpec((1, tp, 2), lambda b, p: (b, p, 0),
+                             memory_space=pltpu.VMEM)]
+    for lvl in range(L):
+        h, w = pyramid[lvl].shape[2:]
+        in_specs.append(pl.BlockSpec(
+            (1, tp, h, w), lambda b, p: (b, p, 0, 0),
+            memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((1, tp, L * n * n), lambda b, p: (b, p, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel_pixel_major, radius=radius, tile_p=tp)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, P, L * n * n), jnp.float32),
+        interpret=_interpret(),
+    )(coords.astype(jnp.float32), *pyramid)
+
+
+# --------------------------------------------------------------------------- #
+# layout B: (B, h, w, P) pixels-on-lanes blocks, full-width VPU FMAs
+# --------------------------------------------------------------------------- #
+def _kernel_lane_major(coords_ref, *rest, radius: int, tile_p: int):
+    n = 2 * radius + 1
+    corr_refs, out_ref = rest[:-1], rest[-1]
+    c = coords_ref[0]                     # (2, TILE_P) f32
+    cx = c[0]                             # (TILE_P,)
+    cy = c[1]
+
+    off = 0
+    for lvl, ref in enumerate(corr_refs):
+        h, w = ref.shape[1:3]
+        inv = 1.0 / (2.0 ** lvl)
+        sx = cx * inv                     # (TILE_P,)
+        sy = cy * inv
+
+        # y contraction: T[j, x, p] = sum_y tent(sy + j - r - y) corr[y, x, p]
+        # statically unrolled (Mosaic cannot dynamic-slice loaded vectors);
+        # each step is a full-lane-width (w, TILE_P) VPU FMA.
+        t = [jnp.zeros((w, tile_p), jnp.float32) for _ in range(n)]
+        for y in range(h):
+            row = ref[0, y].astype(jnp.float32)           # (w, TILE_P)
+            d = sy - float(y)                              # (TILE_P,)
+            for j in range(n):
+                wj = jnp.maximum(0.0, 1.0 - jnp.abs(d + (j - radius)))
+                t[j] = t[j] + row * wj[None, :]
+
+        # x contraction: S[i, j, p] = sum_x tent(sx + i - r - x) T[j, x, p]
+        s = [[jnp.zeros((tile_p,), jnp.float32)] * n for _ in range(n)]
+        for x in range(w):
+            d = sx - float(x)
+            wi = [jnp.maximum(0.0, 1.0 - jnp.abs(d + (i - radius)))
+                  for i in range(n)]
+            for j in range(n):
+                col = t[j][x]                              # (TILE_P,)
+                for i in range(n):
+                    s[i][j] = s[i][j] + col * wi[i]
+
+        for i in range(n):
+            for j in range(n):
+                out_ref[0, off + i * n + j] = s[i][j]
+        off += n * n
+
+
+def build_corr_pyramid_t(fmap1, fmap2, num_levels: int = 4,
+                         normalized_features: bool = False,
+                         dtype=jnp.float32):
+    """All-pairs correlation pyramid in (B, h, w, P) lane-major layout.
+
+    Same math as models.raft.corr.build_corr_pyramid (incl. 1/sqrt(C) scale
+    and torch floor avg-pool semantics), but the volume is stored with the
+    SOURCE pixel on the minor (lane) axis so :func:`corr_lookup_pallas_t`
+    reads it without relayout. The transpose is free: we swap the matmul
+    operands instead of transposing the (B, P, h, w) volume.
+    """
+    B, H, W, C = fmap1.shape
+    f1 = fmap1.reshape(B, H * W, C).astype(dtype)
+    f2 = fmap2.reshape(B, H * W, C).astype(dtype)
+    if normalized_features:
+        f1 = f1 / jnp.linalg.norm(f1.astype(jnp.float32), axis=-1,
+                                  keepdims=True).astype(dtype)
+        f2 = f2 / jnp.linalg.norm(f2.astype(jnp.float32), axis=-1,
+                                  keepdims=True).astype(dtype)
+    corr = jnp.einsum("bqc,bpc->bqp", f2, f1,
+                      preferred_element_type=jnp.float32)
+    corr = (corr / jnp.sqrt(jnp.float32(C))).astype(dtype)
+    corr = corr.reshape(B, H, W, H * W)       # (B, y, x, P)
+    pyramid = [corr]
+    for _ in range(num_levels - 1):
+        h, w = corr.shape[1:3]
+        c = corr[:, : h - h % 2, : w - w % 2]
+        s = c.shape
+        c = c.reshape(B, s[1] // 2, 2, s[2] // 2, 2, s[3])
+        corr = c.mean(axis=(2, 4))
+        pyramid.append(corr)
+    return pyramid
+
+
+def corr_lookup_pallas_t(pyramid_t, coords, radius: int = 4,
+                         tile_p: int = 512):
+    """Fused pyramid lookup, lane-major layout (pixels on lanes).
+
+    args:
+      pyramid_t: list of (B, h_l, w_l, P) arrays from build_corr_pyramid_t.
+      coords: (B, P, 2) float32 level-0 centers.
+    returns:
+      (B, P, L*(2r+1)^2) float32 (same ordering as corr_lookup_pallas).
+    """
+    B, _, _, P = pyramid_t[0].shape
+    n = 2 * radius + 1
+    L = len(pyramid_t)
+    tp = _tile_p(P, tile_p)
+    if tp < 128:
+        raise ValueError(f"P={P} needs a >=128 power-of-two divisor")
+
+    coords_t = coords.astype(jnp.float32).swapaxes(1, 2)   # (B, 2, P)
+    grid = (B, P // tp)
+    in_specs = [pl.BlockSpec((1, 2, tp), lambda b, p: (b, 0, p),
+                             memory_space=pltpu.VMEM)]
+    for lvl in range(L):
+        h, w = pyramid_t[lvl].shape[1:3]
+        in_specs.append(pl.BlockSpec(
+            (1, h, w, tp), lambda b, p: (b, 0, 0, p),
+            memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((1, L * n * n, tp), lambda b, p: (b, 0, p),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel_lane_major, radius=radius, tile_p=tp)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, L * n * n, P), jnp.float32),
+        interpret=_interpret(),
+    )(coords_t, *pyramid_t)
+    return out.swapaxes(1, 2)                                # (B, P, L*n*n)

@@ -1,0 +1,139 @@
+"""Pallas TPU kernel: dense bilinear warp (gather) as tent-weight matmuls.
+
+XLA's gather lowering on TPU reads ~one full map row per gathered element —
+a single (512, 512, 2) bilinear sample costs ~1.5 GB of HBM traffic, and the
+tracker's chain+select step (7 candidates x several channels) blows up to
+~580 GB/frame. TPUs have no per-lane dynamic addressing, but they have a
+very fast MXU: this kernel expresses the bilinear sample of ALL channels of
+a map as one tent-weight matmul per pixel tile,
+
+    R[p, x*C + c] = sum_y tent(sy_p - y) * M[y, x*C + c]      (MXU, f32 acc)
+    out[p, c]     = sum_x tent(sx_p - x) * R[p, x*C + c]      (VPU reduce)
+
+with tent(d) = max(0, 1 - |d|), which IS grid_sample's zeros-padding
+bilinear kernel (align_corners=True pixel coordinates, reference
+MFT/utils/interpolation.py:63-94, used by results.py chain/warp_backward).
+Everything stays in VMEM; HBM traffic is one read of the map per tile wave.
+
+Used by the tracker's fused chain+select step and by FlowOU.warp_backward
+on TPU; the jnp fallback is core.interp.bilinear_sample.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _tile_p(P: int, cap: int) -> int:
+    t = P & (-P)
+    return min(t, cap)
+
+
+def _snap256(s):
+    """Snap the fractional part to a 1/256 grid.
+
+    Tent weights built from 1/256-grid fractions are multiples of 2^-8 in
+    [0, 1] and therefore EXACTLY representable in bfloat16 (8-bit mantissa),
+    so bf16 MXU sampling carries no weight-rounding error — only a <=2^-8 px
+    position shift. Combined with a hi/lo bf16 map split the sample is
+    accurate to ~2^-16 relative even for large flow values.
+    """
+    f = jnp.floor(s)
+    return f + jnp.round((s - f) * 256.0) * (1.0 / 256.0)
+
+
+def _warp_kernel(coords_ref, maps_ref, out_ref, *, C: int, tile_p: int,
+                 dot_dtype, snap: bool):
+    m = maps_ref[0]                             # (H, C*W) channel-major
+    H, CW = m.shape
+    W = CW // C
+    c = coords_ref[0]                           # (TILE_P, 2) f32
+    sx = c[:, 0][:, None]                       # (TILE_P, 1)
+    sy = c[:, 1][:, None]
+    if snap:
+        sx = _snap256(sx)
+        sy = _snap256(sy)
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, (tile_p, H), 1).astype(jnp.float32)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - yy))           # (TILE_P, H)
+
+    # default matmul precision truncates f32 operands to bf16 on TPU; the
+    # f32 mode must request full precision explicitly
+    prec = (jax.lax.Precision.HIGHEST if dot_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    r = jax.lax.dot_general(
+        wy.astype(dot_dtype), m.astype(dot_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=prec,
+        preferred_element_type=jnp.float32)                 # (TILE_P, C*W)
+
+    xx = jax.lax.broadcasted_iota(jnp.int32, (tile_p, W), 1).astype(jnp.float32)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx - xx))           # (TILE_P, W)
+    # channel-major layout: each channel is a contiguous static lane slice
+    for ci in range(C):
+        col = jnp.sum(r[:, ci * W:(ci + 1) * W] * wx, axis=1)  # (TILE_P,)
+        out_ref[0, :, ci] = col
+
+
+def bilinear_warp_pallas(maps, coords, dot_dtype=jnp.bfloat16,
+                         tile_p: int = 512, snap: bool = True):
+    """Bilinear-sample batched multi-channel maps at per-pixel coordinates.
+
+    args:
+      maps: (N, H, W, C) source maps (any float dtype; C small, e.g. <= 8).
+      coords: (N, P, 2) float32 (x, y) pixel coordinates (align_corners=True
+        convention; out-of-bounds taps contribute zero).
+      dot_dtype: matmul operand dtype. bfloat16 (default) + snap gives exact
+        tent weights (see _snap256); for values of large magnitude (flow)
+        pass the map split as bf16 hi/lo channel pairs and recombine — see
+        split_hi_lo. float32 runs the slower multi-pass MXU mode (exact).
+      snap: snap fractions to 1/256 (exact bf16 weights, <=2^-8 px shift).
+    returns:
+      (N, P, C) float32 sampled values.
+    """
+    N, H, W, C = maps.shape
+    P = coords.shape[1]
+    tp = _tile_p(P, tile_p)
+    if tp < 8:
+        raise ValueError(f"P={P} has no power-of-two tiling")
+    # channel-major lanes (H, C*W): per-channel x-reduction needs only a
+    # static contiguous lane slice in the kernel
+    maps2 = maps.swapaxes(2, 3).reshape(N, H, C * W)
+
+    grid = (N, P // tp)
+    kernel = functools.partial(_warp_kernel, C=C, tile_p=tp,
+                               dot_dtype=dot_dtype, snap=snap)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tp, 2), lambda n, p: (n, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, C * W), lambda n, p: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tp, C), lambda n, p: (n, p, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, P, C), jnp.float32),
+        interpret=_interpret(),
+    )(coords.astype(jnp.float32), maps2)
+
+
+def split_hi_lo(x):
+    """Split float32 values into two bfloat16 parts (x ~= hi + lo).
+
+    Sampling hi and lo separately with exact (snapped) tent weights and
+    adding the float32 results reconstructs the bilinear sample to ~2^-16
+    relative accuracy — needed for flow values (hundreds of px) where plain
+    bf16 maps would quantize to ~0.4 px.
+    """
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo

@@ -20,6 +20,22 @@ from mft_tpu.core.flowou import FlowOU, invalid_mask
 from mft_tpu.core.interp import bilinear_sample
 
 
+def _select_n(arr, best):
+    """Per-pixel candidate selection without a gather.
+
+    args: arr (N, H, W, ...) candidate maps, best (H, W) int32 winner index.
+    XLA's take_along_axis lowers to a (slow) TPU gather; for small N a
+    one-hot where-sum is a handful of fused vector selects.
+    """
+    N = arr.shape[0]
+    extra = (1,) * (arr.ndim - 3)
+    out = jnp.zeros(arr.shape[1:], arr.dtype)
+    for n_i in range(N):
+        mask = (best == n_i).reshape(best.shape + extra)
+        out = jnp.where(mask, arr[n_i], out)
+    return out
+
+
 def _sample_stacked_flow(right_flow, coords, block_idx):
     """Bilinear-sample per-pixel-selected candidate flow maps.
 
@@ -53,11 +69,74 @@ def _sample_stacked_flow(right_flow, coords, block_idx):
             + tap(x0 + 1, y0 + 1, wx * wy))
 
 
+def chain_select_pallas(left: FlowOU, right: FlowOU, valid: jnp.ndarray,
+                        occlusion_threshold: float = 0.02) -> FlowOU:
+    """TPU path of :func:`chain_select` — same semantics, one Pallas call.
+
+    ALL candidate sampling (occlusion, sigma, and both flow channels split
+    hi/lo for accuracy) runs as a single 6-channel tent-matmul warp kernel
+    (ops/warp_pallas.py); chaining, selection and the winner pick are cheap
+    fused element-wise XLA ops (no gathers anywhere).
+
+    Accuracy vs the exact jnp path: sample positions snap to 1/256 px and
+    flow reconstructs to ~2^-16 relative; occl/sigma carry bf16 map
+    quantization (~0.4%) which only matters at exact selection ties.
+    """
+    from mft_tpu.ops.warp_pallas import bilinear_warp_pallas, split_hi_lo
+
+    N, H, W = left.occlusion.shape
+    grid = grid_coords(H, W)
+    coords_b = (grid[None] + left.flow.astype(jnp.float32)).reshape(N, -1, 2)
+
+    fhi, flo = split_hi_lo(right.flow.astype(jnp.float32))      # (N,H,W,2)
+    maps = jnp.concatenate([
+        fhi.astype(jnp.bfloat16),
+        flo.astype(jnp.bfloat16),
+        right.occlusion[..., None].astype(jnp.bfloat16),
+        right.sigma[..., None].astype(jnp.bfloat16),
+    ], axis=-1)                                                  # (N,H,W,6)
+    samp = bilinear_warp_pallas(maps, coords_b).reshape(N, H, W, 6)
+    samp_flow = samp[..., 0:2] + samp[..., 2:4]
+    samp_occl = samp[..., 4]
+    samp_sigma = samp[..., 5]
+
+    chained_flow = left.flow + samp_flow
+    chained_occl = jnp.maximum(left.occlusion, samp_occl)
+    chained_sigma = jnp.sqrt(jnp.square(left.sigma)
+                             + jnp.square(samp_sigma))
+
+    neg_inf = jnp.float32(-jnp.inf)
+    scores = jnp.where(chained_occl > occlusion_threshold, neg_inf,
+                       -chained_sigma)
+    scores = jnp.where(valid[:, None, None], scores, neg_inf)
+    best = jnp.argmax(scores, axis=0)                            # (H, W)
+
+    sel_flow = _select_n(chained_flow, best)
+    sel_occl = _select_n(chained_occl, best)
+    sel_sigma = _select_n(chained_sigma, best)
+
+    inval = invalid_mask(sel_flow)
+    sel_occl = jnp.where(inval, 1.0, sel_occl)
+    return FlowOU(flow=sel_flow, occlusion=sel_occl, sigma=sel_sigma)
+
+
 def chain_select(left: FlowOU, right: FlowOU, valid: jnp.ndarray,
                  occlusion_threshold: float = 0.02) -> FlowOU:
     """args: left/right FlowOU with stacked candidate axis (N, H, W, ...);
     valid (N,) candidate mask. returns the selected chained FlowOU (H, W, ...).
+
+    Dispatches to the Pallas kernel path on TPU (chain_select_pallas); the
+    jnp gather implementation below is the exact reference/CPU fallback.
     """
+    if jax.default_backend() == "tpu" and (left.occlusion.shape[1] *
+                                           left.occlusion.shape[2]) % 8 == 0:
+        return chain_select_pallas(left, right, valid, occlusion_threshold)
+    return chain_select_ref(left, right, valid, occlusion_threshold)
+
+
+def chain_select_ref(left: FlowOU, right: FlowOU, valid: jnp.ndarray,
+                     occlusion_threshold: float = 0.02) -> FlowOU:
+    """Exact jnp implementation (select-late, gather-based)."""
     N, H, W = left.occlusion.shape
     grid = grid_coords(H, W)
     coords_b = grid[None] + left.flow.astype(jnp.float32)  # (N, H, W, 2)

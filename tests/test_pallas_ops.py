@@ -1,0 +1,126 @@
+"""Pallas TPU kernels vs their exact jnp reference implementations.
+
+On CPU the kernels run in Pallas interpret mode — same program, executed by
+the interpreter — so these tests verify the kernel math (tiling, tent
+weights, channel layout, zeros padding) end to end.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mft_tpu.core.flowou import FlowOU
+from mft_tpu.core.interp import bilinear_sample
+from mft_tpu.models.raft.corr import build_corr_pyramid, corr_lookup
+from mft_tpu.ops.corr_lookup_pallas import (
+    build_corr_pyramid_t,
+    corr_lookup_pallas,
+    corr_lookup_pallas_t,
+)
+from mft_tpu.ops.warp_pallas import bilinear_warp_pallas, split_hi_lo
+from mft_tpu.tracker.fused import chain_select_pallas, chain_select_ref
+
+
+def _pyramid(rng, B=1, H=16, W=32, C=64):
+    f1 = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    f2 = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    return f1, f2
+
+
+def test_corr_lookup_pallas_matches_mxu(rng):
+    B, H8, W8 = 1, 16, 32
+    P = H8 * W8
+    f1, f2 = _pyramid(rng, B, H8, W8)
+    pyr = build_corr_pyramid(f1, f2, 4)
+    coords = jnp.asarray(
+        rng.uniform(-3, 40, (B, P, 2)).astype(np.float32))
+    want = corr_lookup(pyr, coords.reshape(B, H8, W8, 2), 4,
+                       method="mxu").reshape(B, P, -1)
+    got = corr_lookup_pallas(pyr, coords, 4, tile_p=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_corr_lookup_pallas_t_matches_gather(rng):
+    B, H8, W8 = 1, 16, 32
+    P = H8 * W8
+    f1, f2 = _pyramid(rng, B, H8, W8)
+    pyr = build_corr_pyramid(f1, f2, 4)
+    pyr_t = build_corr_pyramid_t(f1, f2, 4)
+    # transposed pyramid holds the same values
+    for lvl, (p, pt) in enumerate(zip(pyr, pyr_t)):
+        np.testing.assert_allclose(
+            np.asarray(p.reshape(B, P, -1)),
+            np.asarray(pt.reshape(B, -1, P).swapaxes(1, 2)),
+            atol=1e-5, err_msg=f"level {lvl}")
+    coords = jnp.asarray(
+        rng.uniform(-3, 40, (B, P, 2)).astype(np.float32))
+    want = corr_lookup(pyr, coords.reshape(B, H8, W8, 2), 4,
+                       method="gather").reshape(B, P, -1)
+    got = corr_lookup_pallas_t(pyr_t, coords, 4, tile_p=512)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_bilinear_warp_pallas_f32_exact(rng):
+    N, H, W, C = 2, 32, 16, 4
+    P = 64
+    maps = jnp.asarray(rng.standard_normal((N, H, W, C)).astype(np.float32))
+    coords = jnp.asarray(
+        (rng.random((N, P, 2)) * [[W * 1.3, H * 1.3]] - 2).astype(np.float32))
+    want = jnp.stack([bilinear_sample(maps[n], coords[n]) for n in range(N)])
+    got = bilinear_warp_pallas(maps, coords, dot_dtype=jnp.float32,
+                               tile_p=64, snap=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_bilinear_warp_pallas_hi_lo_large_values(rng):
+    """bf16 hi/lo split + snapped tents must sample large flow accurately."""
+    N, H, W = 1, 32, 32
+    P = 128
+    # large values but realistic gradients (a few px/px, like real flow):
+    # affine base + small noise
+    ygrid, xgrid = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    base = np.stack([150 + 2.0 * xgrid - 1.0 * ygrid,
+                     -120 + 1.5 * ygrid + 0.5 * xgrid], axis=-1)
+    noise = rng.standard_normal((N, H, W, 2)) * 0.5
+    flow = jnp.asarray((base[None] + noise).astype(np.float32))
+    coords = jnp.asarray(
+        (rng.random((N, P, 2)) * [[W - 1, H - 1]]).astype(np.float32))
+    want = jnp.stack([bilinear_sample(flow[n], coords[n]) for n in range(N)])
+    hi, lo = split_hi_lo(flow)
+    maps = jnp.concatenate([hi.astype(jnp.bfloat16),
+                            lo.astype(jnp.bfloat16)], axis=-1)
+    got4 = bilinear_warp_pallas(maps, coords, tile_p=128)
+    got = got4[..., 0:2] + got4[..., 2:4]
+    # gradient ~2 px/px, 1/256 snap -> ~0.01 px + 2^-16 value error
+    err = np.abs(np.asarray(got) - np.asarray(want)).max()
+    assert err < 0.05, err
+    # plain bf16 (no split) is much worse on 200-px values
+    got_plain = bilinear_warp_pallas(hi.astype(jnp.bfloat16), coords,
+                                     tile_p=128)
+    err_plain = np.abs(np.asarray(got_plain) - np.asarray(want)).max()
+    assert err < err_plain
+
+
+def test_chain_select_pallas_matches_ref(rng):
+    N, H, W = 4, 16, 16
+    def mk(*s):
+        return jnp.asarray(rng.random(s).astype(np.float32))
+    left = FlowOU(flow=mk(N, H, W, 2) * 6 - 3,
+                  occlusion=mk(N, H, W) * 0.015,
+                  sigma=mk(N, H, W) + 0.1)
+    right = FlowOU(flow=mk(N, H, W, 2) * 6 - 3,
+                   occlusion=mk(N, H, W) * 0.015,
+                   sigma=mk(N, H, W) + 0.1)
+    valid = jnp.asarray([True, True, False, True])
+    a = chain_select_ref(left, right, valid, 0.02)
+    b = chain_select_pallas(left, right, valid, 0.02)
+    # winners must agree except at near-ties; compare field values
+    occl_close = np.isclose(np.asarray(a.occlusion), np.asarray(b.occlusion),
+                            atol=2e-2)
+    assert occl_close.mean() > 0.99
+    sig_close = np.isclose(np.asarray(a.sigma), np.asarray(b.sigma),
+                           atol=2e-2)
+    assert sig_close.mean() > 0.99
+    flow_close = np.isclose(np.asarray(a.flow), np.asarray(b.flow), atol=0.15)
+    assert flow_close.mean() > 0.98
