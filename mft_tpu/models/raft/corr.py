@@ -49,21 +49,29 @@ def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
     """
     B, H, W, C = fmap1.shape
     f1 = fmap1.reshape(B, H * W, C).astype(dtype)
-    f2 = fmap2.reshape(B, H * W, C).astype(dtype)
+    f2 = fmap2.astype(dtype)
     if normalized_features:
         f1 = f1 / jnp.linalg.norm(f1.astype(jnp.float32), axis=-1,
                                   keepdims=True).astype(dtype)
         f2 = f2 / jnp.linalg.norm(f2.astype(jnp.float32), axis=-1,
                                   keepdims=True).astype(dtype)
-    # (B, H1*W1, H2*W2) — single MXU matmul, f32 accumulation
-    corr = jnp.einsum("bpc,bqc->bpq", f1, f2,
-                      preferred_element_type=jnp.float32)
-    corr = (corr / jnp.sqrt(jnp.float32(C))).astype(dtype)
-    corr = corr.reshape(B, H * W, H, W)
-    pyramid = [corr]
-    for _ in range(num_levels - 1):
-        corr = avg_pool2x2(corr)
-        pyramid.append(corr)
+    # Pooling the volume over target windows == dotting with avg-pooled
+    # target FEATURES (the dot product is linear): instead of building the
+    # level-0 volume and average-pooling ~600 MB of it per level (reference
+    # corr.py:26-28), pool the tiny (H, W, C) feature map and run one small
+    # MXU matmul per level. Bit-equivalent math (incl. the floor/VALID
+    # odd-edge truncation), ~10x less HBM traffic.
+    scale = 1.0 / jnp.sqrt(jnp.float32(C))
+    pyramid = []
+    h, w = H, W
+    for lvl in range(num_levels):
+        if lvl > 0:
+            f2 = avg_pool2x2(jnp.moveaxis(f2, -1, 1))  # pool over (H, W)
+            f2 = jnp.moveaxis(f2, 1, -1)
+            h, w = f2.shape[1], f2.shape[2]
+        corr_l = jnp.einsum("bpc,bqc->bpq", f1, f2.reshape(B, h * w, C),
+                            preferred_element_type=jnp.float32)
+        pyramid.append((corr_l * scale).astype(dtype).reshape(B, H * W, h, w))
     return pyramid
 
 

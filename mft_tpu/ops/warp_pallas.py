@@ -126,6 +126,82 @@ def bilinear_warp_pallas(maps, coords, dot_dtype=jnp.bfloat16,
     )(coords.astype(jnp.float32), maps2)
 
 
+def _banded_kernel(coords_ref, maps_ref, out_ref, r_ref, *, C: int,
+                   tile_p: int, band: int, n_bands: int):
+    W = maps_ref.shape[2] // C
+    c = coords_ref[0]                           # (TILE_P, 2) f32, pre-snapped
+    sx = c[:, 0][:, None]
+    sy = c[:, 1][:, None]
+    # band occupancy computed IN-KERNEL (a scalar-prefetch mask would be a
+    # device->host roundtrip per call on remote-dispatch platforms)
+    m_lo = jnp.min(sy)
+    m_hi = jnp.max(sy)
+
+    # accumulate in a VMEM scratch ref under @pl.when — a lax.cond carrying
+    # the (TILE_P, C*W) value would copy the full accumulator per band
+    r_ref[:] = jnp.zeros((tile_p, C * W), jnp.float32)
+    for b in range(n_bands):                    # static unroll, runtime skip
+        touched = jnp.logical_and(m_hi > b * band - 1.0,
+                                  m_lo < (b + 1) * band)
+
+        @pl.when(touched)
+        def _(b=b):
+            m = maps_ref[0, b * band:(b + 1) * band]        # (BAND, C*W)
+            yy = (b * band) + jax.lax.broadcasted_iota(
+                jnp.int32, (tile_p, band), 1).astype(jnp.float32)
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - yy))   # (TILE_P, BAND)
+            r_ref[:] += jax.lax.dot_general(
+                wy.astype(jnp.bfloat16), m.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    xx = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_p, W), 1).astype(jnp.float32)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx - xx))
+    r = r_ref[:]
+    for ci in range(C):
+        out_ref[0, :, ci] = jnp.sum(r[:, ci * W:(ci + 1) * W] * wx, axis=1)
+
+
+def bilinear_warp_banded(maps, coords, band: int = 128, tile_p: int = 256):
+    """Band-sparse bilinear warp: like bilinear_warp_pallas (bf16 + snapped
+    tents), but the tent matmul over map rows is decomposed into row BANDS,
+    statically unrolled in-kernel and skipped (@pl.when on the tile's y
+    min/max, computed in-kernel) when no pixel of the tile samples that
+    band. Exact same result; for smooth flow each tile touches 1-2 of
+    H/band bands, cutting MXU work ~2-4x. Worst case (wild flow) degrades
+    to the dense kernel's cost plus branch overhead.
+
+    args/returns: as bilinear_warp_pallas (bf16 path); requires H % band == 0.
+    """
+    N, H, W, C = maps.shape
+    P = coords.shape[1]
+    tp = _tile_p(P, tile_p)
+    if tp < 8 or H % band != 0 or H // band < 2:
+        return bilinear_warp_pallas(maps, coords, tile_p=tile_p)
+    n_bands = H // band
+    maps2 = maps.swapaxes(2, 3).reshape(N, H, C * W)
+    coords = _snap256(coords.astype(jnp.float32))
+
+    kernel = functools.partial(_banded_kernel, C=C, tile_p=tp, band=band,
+                               n_bands=n_bands)
+    return pl.pallas_call(
+        kernel,
+        grid=(N, P // tp),
+        in_specs=[
+            pl.BlockSpec((1, tp, 2), lambda n, t: (n, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, C * W), lambda n, t: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tp, C), lambda n, t: (n, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, P, C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tp, C * W), jnp.float32)],
+        interpret=_interpret(),
+    )(coords, maps2)
+
+
 def split_hi_lo(x):
     """Split float32 values into two bfloat16 parts (x ~= hi + lo).
 
