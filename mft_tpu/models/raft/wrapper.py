@@ -98,11 +98,14 @@ class RAFTFlow:
         self._jitted = {}
 
     # ------------------------------------------------------------------ #
-    def _forward_fn(self, B, H, W, with_init):
-        """Build + cache the jitted padded-forward for a given shape."""
-        key = (B, H, W, with_init)
-        if key in self._jitted:
-            return self._jitted[key]
+    def padded_forward(self, H, W):
+        """The UNJITTED padded-forward closure for (·, H, W, 3) inputs.
+
+        Exposed so callers (the tracker's fused per-frame step) can compose
+        the whole frame into one jit — per-op dispatch through a remote
+        device tunnel costs milliseconds each, so one call per frame beats
+        ~30 small ones.
+        """
         (pt, pb), (pl, pr) = pad_to_8(H, W)
         model, iters = self.model, self.iters
 
@@ -124,7 +127,14 @@ class RAFTFlow:
             sigma = unpad(jnp.sqrt(jnp.exp(out["uncertainty"][..., 0])))
             return flow, occl, sigma
 
-        jitted = jax.jit(fwd)
+        return fwd
+
+    def _forward_fn(self, B, H, W, with_init):
+        """Build + cache the jitted padded-forward for a given shape."""
+        key = (B, H, W, with_init)
+        if key in self._jitted:
+            return self._jitted[key]
+        jitted = jax.jit(self.padded_forward(H, W))
         self._jitted[key] = jitted
         return jitted
 

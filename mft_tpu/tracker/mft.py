@@ -99,6 +99,23 @@ class MFT:
         img = self._to_device(input_img)
 
         cands = self._candidates(t)
+        if (self.flow_cache is None and not timers_on
+                and hasattr(self.flower, "padded_forward")):
+            # no-cache fast path: the WHOLE frame (batched RAFT forward +
+            # chain/select + memory update) is ONE jitted call — per-op
+            # dispatch through a remote device tunnel costs milliseconds,
+            # so the ~30 small ops of the split path dominate at high FPS
+            slots = jnp.asarray([c.slot for c in cands], jnp.int32)
+            valid = jnp.asarray([c.valid for c in cands], bool)
+            wslot = jnp.int32(t % self.ring)
+            step = self._get_fused_frame()
+            (self.mem_imgs, self.mem_flow, self.mem_occl, self.mem_sigma,
+             result) = step(self.flower.variables, self.mem_imgs,
+                            self.mem_flow, self.mem_occl, self.mem_sigma,
+                            img, slots, valid, wslot)
+            meta = SimpleNamespace()
+            meta.result = result
+            return meta
         flow_timer = general_time_measurer("flow+chain", active=timers_on,
                                            device_sync_fn=sync, start_now=True)
         flows, occls, sigmas = self._acquire_flows(img, cands, t)
@@ -201,6 +218,40 @@ class MFT:
         return flows, occls, sigmas
 
     # ------------------------------------------------------------------ #
+    def _get_fused_frame(self):
+        """One jitted function for a full no-cache frame (see track())."""
+        key = (self.img_H, self.img_W)
+        cache = getattr(self, "_fused_frame_fns", None)
+        if cache is None:
+            cache = self._fused_frame_fns = {}
+        if key in cache:
+            return cache[key]
+        occl_thresh = float(self.C.occlusion_threshold or 0.02)
+        fwd = self.flower.padded_forward(self.img_H, self.img_W)
+        N = len(self.deltas)
+
+        @partial(jax.jit, donate_argnums=(1, 2, 3, 4))
+        def frame(variables, mem_imgs, mem_flow, mem_occl, mem_sigma, img,
+                  slots, valid, wslot):
+            left_imgs = jnp.take(mem_imgs, slots, axis=0)
+            right_imgs = jnp.broadcast_to(img, (N, *img.shape))
+            flows, occls, sigmas = fwd(variables,
+                                       left_imgs.astype(jnp.float32),
+                                       right_imgs.astype(jnp.float32))
+            left = FlowOU(flow=jnp.take(mem_flow, slots, axis=0),
+                          occlusion=jnp.take(mem_occl, slots, axis=0),
+                          sigma=jnp.take(mem_sigma, slots, axis=0))
+            right = FlowOU(flow=flows, occlusion=occls, sigma=sigmas)
+            result = chain_select(left, right, valid, occl_thresh)
+            mem_imgs = mem_imgs.at[wslot].set(img)
+            mem_flow = mem_flow.at[wslot].set(result.flow)
+            mem_occl = mem_occl.at[wslot].set(result.occlusion)
+            mem_sigma = mem_sigma.at[wslot].set(result.sigma)
+            return mem_imgs, mem_flow, mem_occl, mem_sigma, result
+
+        cache[key] = frame
+        return frame
+
     def _get_step(self):
         if self._step_fn is not None:
             return self._step_fn

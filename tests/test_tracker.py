@@ -192,3 +192,44 @@ def test_point_tracking_adapter():
     np.testing.assert_allclose(coords, queries + SHIFT * 4, atol=1e-3)
     assert occl.shape == (2,)
     assert np.all(occl < 0.02)
+
+
+def test_fused_frame_path_matches_split():
+    """The one-jit-per-frame fast path (no flow cache) must produce the same
+    results as the split acquire/step path, using the real RAFT model."""
+    from mft_tpu.models.raft import RAFTFlow
+
+    flow_cfg = Config()
+    flow_cfg.of_class = RAFTFlow
+    flow_cfg.raft_params = {"occlusion_module": "separate_with_uncertainty"}
+    flow_cfg.model = None      # deterministic random init
+    flow_cfg.flow_iters = 2
+    cfg = Config()
+    cfg.flow_config = flow_cfg
+    cfg.deltas = [np.inf, 1, 2]
+    cfg.occlusion_threshold = 0.02
+
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (64, 72, 3), dtype=np.uint8)
+              for _ in range(4)]
+
+    tracker = MFT(cfg)
+    tracker.init(frames[0])
+    assert hasattr(tracker.flower, "padded_forward")
+    for f in frames[1:]:
+        meta = tracker.track(f)          # fused path (flow_cache is None)
+    fused = meta.result
+
+    tracker2 = MFT(cfg)
+    tracker2.init(frames[0])
+    tracker2.C.timers_enabled = True     # forces the split path
+    for f in frames[1:]:
+        meta2 = tracker2.track(f)
+    split = meta2.result
+
+    np.testing.assert_allclose(np.asarray(fused.flow),
+                               np.asarray(split.flow), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fused.occlusion),
+                               np.asarray(split.occlusion), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fused.sigma),
+                               np.asarray(split.sigma), atol=1e-4)
