@@ -5,6 +5,7 @@ Role parity: GeneralVideoCapture / get_video_frames / get_video_length
 """
 
 import os
+from collections import deque
 from pathlib import Path
 
 import cv2
@@ -97,3 +98,31 @@ class VideoWriter:
 
     def __exit__(self, *exc):
         self.close()
+
+
+class LookaheadIter:
+    """Iterator wrapper with non-consuming peek/lookahead (reference
+    MFT/utils/io.py:64-87) — used to inspect upcoming frames without
+    advancing the decode position."""
+
+    def __init__(self, it):
+        self._iter = iter(it)
+        self._ahead = deque()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._ahead:
+            return self._ahead.popleft()
+        return next(self._iter)
+
+    def lookahead(self):
+        for x in self._ahead:
+            yield x
+        for x in self._iter:
+            self._ahead.append(x)
+            yield x
+
+    def peek(self, *default):
+        return next(iter(self.lookahead()), *default)

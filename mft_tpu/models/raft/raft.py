@@ -28,9 +28,10 @@ from mft_tpu.models.raft.layers import BasicEncoder, SmallEncoder
 from mft_tpu.models.raft.update import (
     BasicUpdateBlock,
     OcclusionAndUncertaintyBlock,
+    SmallUpdateBlock,
 )
 from mft_tpu.models.raft.corr import build_corr_pyramid, corr_lookup
-from mft_tpu.models.raft.upsample import convex_upsample
+from mft_tpu.models.raft.upsample import convex_upsample, upflow8
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,6 +72,11 @@ class RAFTParams:
     @property
     def dtype(self):
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+    @property
+    def effective_corr_radius(self) -> int:
+        # reference forces radius 3 for the small model (raft.py:37-40)
+        return 3 if self.small else self.corr_radius
 
     @property
     def hidden_dim(self) -> int:
@@ -121,8 +127,12 @@ class RAFT(nn.Module):
                 output_dim=self.cfg.hidden_dim + self.cfg.context_dim,
                 norm_fn="batch", train=self.train_mode,
                 dropout=self.cfg.dropout, dtype=dt)
-        self.update_block = BasicUpdateBlock(hidden_dim=self.cfg.hidden_dim,
-                                             dtype=dt)
+        if self.cfg.small:
+            self.update_block = SmallUpdateBlock(
+                hidden_dim=self.cfg.hidden_dim, dtype=dt)
+        else:
+            self.update_block = BasicUpdateBlock(
+                hidden_dim=self.cfg.hidden_dim, dtype=dt)
         if self.cfg.occlusion_estimation:
             self.occlusion_block = OcclusionAndUncertaintyBlock(
                 architecture=self.cfg.ou_architecture, dtype=dt)
@@ -159,7 +169,7 @@ class RAFT(nn.Module):
         flow_up = occl_up = uncertainty_up = None
         for itr in range(iters):
             coords1 = jax.lax.stop_gradient(coords1)
-            corr = corr_lookup(pyramid, coords1, cfg.corr_radius,
+            corr = corr_lookup(pyramid, coords1, cfg.effective_corr_radius,
                                method=cfg.corr_method)
 
             flow = coords1 - coords0
@@ -171,9 +181,12 @@ class RAFT(nn.Module):
             is_last = itr == iters - 1
             need_up = (not test_mode) or is_last
             if need_up:
-                flow_up = convex_upsample(coords1 - coords0,
-                                          up_mask.astype(jnp.float32),
-                                          mult_coef=8.0)
+                if up_mask is None:  # small model: plain x8 bilinear
+                    flow_up = upflow8(coords1 - coords0)
+                else:
+                    flow_up = convex_upsample(coords1 - coords0,
+                                              up_mask.astype(jnp.float32),
+                                              mult_coef=8.0)
                 flow_preds.append(flow_up)
 
             ou_this_iter = cfg.occlusion_estimation and (

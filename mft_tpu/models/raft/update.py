@@ -128,6 +128,61 @@ class BasicUpdateBlock(nn.Module):
         return net, up_mask, delta_flow, motion_features
 
 
+class SmallMotionEncoder(nn.Module):
+    """Small-model motion encoder (reference update.py:126-139): 82-ch out."""
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, flow, corr):
+        flow = flow.astype(self.dtype)
+        corr = corr.astype(self.dtype)
+        cor = nn.relu(nn.Conv(96, (1, 1), padding="VALID", dtype=self.dtype,
+                              name="convc1")(corr))
+        flo = nn.relu(nn.Conv(64, (7, 7), padding=_pad(7), dtype=self.dtype,
+                              name="convf1")(flow))
+        flo = nn.relu(nn.Conv(32, (3, 3), padding=_pad(3), dtype=self.dtype,
+                              name="convf2")(flo))
+        out = nn.relu(nn.Conv(80, (3, 3), padding=_pad(3), dtype=self.dtype,
+                              name="conv")(jnp.concatenate([cor, flo], axis=-1)))
+        return jnp.concatenate([out, flow], axis=-1)  # 82 ch
+
+
+class ConvGRU(nn.Module):
+    """Plain 3x3 ConvGRU (small model, reference update.py:79-94)."""
+    hidden_dim: int = 96
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, x):
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = nn.sigmoid(nn.Conv(self.hidden_dim, (3, 3), padding=_pad(3),
+                               dtype=self.dtype, name="convz")(hx))
+        r = nn.sigmoid(nn.Conv(self.hidden_dim, (3, 3), padding=_pad(3),
+                               dtype=self.dtype, name="convr")(hx))
+        q = nn.tanh(nn.Conv(self.hidden_dim, (3, 3), padding=_pad(3),
+                            dtype=self.dtype, name="convq")(
+            jnp.concatenate([r * h, x], axis=-1)))
+        return (1.0 - z) * h + z * q
+
+
+class SmallUpdateBlock(nn.Module):
+    """Small-RAFT refinement step: no up-mask head (upflow8 upsampling).
+
+    Reference parity: update.py:162-175.
+    """
+    hidden_dim: int = 96
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        motion_features = SmallMotionEncoder(dtype=self.dtype,
+                                             name="encoder")(flow, corr)
+        gru_in = jnp.concatenate([inp, motion_features], axis=-1)
+        net = ConvGRU(self.hidden_dim, dtype=self.dtype, name="gru")(net, gru_in)
+        delta_flow = FlowHead(128, 2, dtype=self.dtype, name="flow_head")(net)
+        return net, None, delta_flow, motion_features
+
+
 class OcclusionAndUncertaintyBlock(nn.Module):
     """Separate occlusion (2ch logits) + uncertainty (1ch log-var) heads.
 

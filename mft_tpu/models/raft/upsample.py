@@ -83,3 +83,79 @@ def downsample_flow8(flow: jnp.ndarray) -> jnp.ndarray:
     """
     B, H, W, C = flow.shape
     return resize_bilinear_align_corners(flow, (H // 8, W // 8)) / 8.0
+
+
+def forward_interpolate(flow):
+    """Advect a flow field forward for next-frame warm starting.
+
+    Each pixel's flow vector is carried to its target location and the
+    scattered samples are nearest-neighbor interpolated back onto the grid
+    (reference MFT/RAFT/core/utils/utils.py:67-95). Host-side numpy/scipy —
+    used between frames (TC warm-start mode), not inside jit.
+
+    args: flow (H, W, 2) array. returns (H, W, 2) float32 numpy array.
+    """
+    import numpy as np
+    from scipy import interpolate
+
+    flow = np.asarray(flow, np.float32)
+    H, W = flow.shape[:2]
+    x0, y0 = np.meshgrid(np.arange(W), np.arange(H))
+    dx, dy = flow[..., 0].ravel(), flow[..., 1].ravel()
+    x1 = x0.ravel() + dx
+    y1 = y0.ravel() + dy
+    valid = (x1 > 0) & (x1 < W) & (y1 > 0) & (y1 < H)
+    if not valid.any():
+        return np.zeros_like(flow)
+    pts = (x1[valid], y1[valid])
+    fx = interpolate.griddata(pts, dx[valid], (x0, y0), method="nearest",
+                              fill_value=0)
+    fy = interpolate.griddata(pts, dy[valid], (x0, y0), method="nearest",
+                              fill_value=0)
+    return np.stack([fx, fy], axis=-1).astype(np.float32)
+
+
+class InputCropAndResize:
+    """Scale-crop preprocessing alternative to padding (reference
+    MFT/RAFT/core/utils/utils.py:26-63), NHWC jnp version.
+
+    ``crop`` center-crops inputs to ``scale`` of their size (remembering
+    shapes), ``upsize``/``downsize`` resize with align_corners=True, and
+    ``downsize_flow`` additionally rescales the flow VALUES by the size
+    ratio.
+    """
+
+    def __init__(self, scale: float):
+        self.scale = scale
+
+    def crop(self, *inputs):
+        outs = []
+        for x in inputs:
+            N, H, W, C = x.shape
+            self.orig_hw = (H, W)
+            nh, nw = int(H * self.scale), int(W * self.scale)
+            self.new_hw = (nh, nw)
+            sh = int((H - nh) * self.scale)
+            sw = int((W - nw) * self.scale)
+            outs.append(x[:, sh:sh + nh, sw:sw + nw, :])
+        return outs
+
+    def _resize(self, x, hw):
+        return resize_bilinear_align_corners(x, hw)
+
+    def upsize(self, *inputs):
+        return [self._resize(x, self.orig_hw) for x in inputs]
+
+    def downsize(self, *inputs):
+        return [self._resize(x, self.new_hw) for x in inputs]
+
+    def downsize_flow(self, *inputs):
+        outs = []
+        for x in inputs:
+            H, W = x.shape[1:3]
+            ratio_h = self.new_hw[0] / H
+            ratio_w = self.new_hw[1] / W
+            f = self._resize(x, self.new_hw)
+            outs.append(jnp.stack([f[..., 0] * ratio_w,
+                                   f[..., 1] * ratio_h], axis=-1))
+        return outs

@@ -162,3 +162,287 @@ def vis_scalar_map(data, vmin=None, vmax=None, cmap=cv2.COLORMAP_VIRIDIS):
     vmax = float(data.max()) if vmax is None else vmax
     norm = (data - vmin) / max(vmax - vmin, 1e-9)
     return cv2.applyColorMap((np.clip(norm, 0, 1) * 255).astype(np.uint8), cmap)
+
+
+# -- sub-pixel drawing (reference vis_utils.py line/circle/polylines,
+#    fixed-point shift=4 wrappers) -------------------------------------------- #
+
+_SHIFT = 4
+_FIX = 1 << _SHIFT
+
+
+def _fx(pt):
+    return (int(round(float(pt[0]) * _FIX)), int(round(float(pt[1]) * _FIX)))
+
+
+def line(img, pt1, pt2, color, thickness=1, line_type=cv2.LINE_AA):
+    """Sub-pixel accurate line (float endpoints)."""
+    cv2.line(img, _fx(pt1), _fx(pt2), color, thickness, line_type,
+             shift=_SHIFT)
+    return img
+
+
+def circle(img, center, radius, color, thickness=1, line_type=cv2.LINE_AA):
+    """Sub-pixel accurate circle (float center/radius)."""
+    cv2.circle(img, _fx(center), int(round(radius * _FIX)), color, thickness,
+               line_type, shift=_SHIFT)
+    return img
+
+
+def polylines(img, pts, is_closed, color, thickness=1,
+              line_type=cv2.LINE_AA):
+    """Sub-pixel accurate polyline; pts (N, 2) float."""
+    p = (np.asarray(pts, np.float64) * _FIX).round().astype(np.int32)
+    cv2.polylines(img, [p.reshape(-1, 1, 2)], is_closed, color, thickness,
+                  line_type, shift=_SHIFT)
+    return img
+
+
+# -- hatching (reference cv2_hatch / hatch_pattern) --------------------------- #
+
+def hatch_pattern(shape, normal=(2, 1), spacing=10):
+    """Boolean diagonal-stripe pattern; ``normal`` is the stripe normal."""
+    H, W = shape[:2]
+    ys, xs = np.mgrid[0:H, 0:W]
+    proj = xs * normal[0] + ys * normal[1]
+    period = spacing * float(np.hypot(*normal))
+    return (proj % period) < max(np.hypot(*normal), 1.0)
+
+
+def hatch_overlay(img, mask, color=(0, 0, 0), alpha=1.0, spacing=10,
+                  normal=(2, 1)):
+    """Draw diagonal hatching over the masked region of a BGR image."""
+    stripes = hatch_pattern(img.shape, normal=normal, spacing=spacing)
+    sel = np.logical_and(np.asarray(mask, bool), stripes)
+    out = img.astype(np.float32).copy()
+    out[sel] = (1 - alpha) * out[sel] + alpha * np.asarray(color, np.float32)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+# -- mask / alpha compositing (reference blend_mask / blend_with_alpha) ------- #
+
+def blend_mask(img, mask, color=(0, 255, 0), alpha=0.5):
+    """Tint the masked region with a color."""
+    out = img.astype(np.float32).copy()
+    m = np.asarray(mask, bool)
+    out[m] = (1 - alpha) * out[m] + alpha * np.asarray(color, np.float32)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def blend_with_alpha(img1, img2, img1_alpha):
+    """Per-pixel alpha composite: img1 over img2 with (H, W) alpha."""
+    a = np.asarray(img1_alpha, np.float32)
+    if a.ndim == 2:
+        a = a[..., None]
+    out = img1.astype(np.float32) * a + img2.astype(np.float32) * (1 - a)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def blend_with_alpha_premult(img1_premult, img2, img1_alpha):
+    """Premultiplied-alpha composite (img1 already multiplied by alpha)."""
+    a = np.asarray(img1_alpha, np.float32)
+    if a.ndim == 2:
+        a = a[..., None]
+    out = img1_premult.astype(np.float32) + img2.astype(np.float32) * (1 - a)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def to_gray_3ch(img):
+    """BGR -> 3-channel grayscale (for alignment overlays)."""
+    g = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+    return np.repeat(g[..., None], 3, axis=2)
+
+
+# -- checkerboards / dotboards (reference color_checkerboard/color_dotboard) -- #
+
+def color_checkerboard(H, W, square=8):
+    """BGR checkerboard with a distinct hue per cell (warp debugging)."""
+    ys, xs = np.mgrid[0:H, 0:W]
+    cy, cx = ys // square, xs // square
+    hue = ((cy * 37 + cx * 61) % 180).astype(np.uint8)
+    hsv = np.stack([hue, np.full((H, W), 200, np.uint8),
+                    np.full((H, W), 230, np.uint8)], axis=-1)
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+
+
+def color_dotboard(H, W, spacing=16, radius=3):
+    """White canvas with colored dots on a grid (sparse warp debugging)."""
+    canvas = np.full((H, W, 3), 255, np.uint8)
+    for i, y in enumerate(range(spacing // 2, H, spacing)):
+        for j, x in enumerate(range(spacing // 2, W, spacing)):
+            hue = int((i * 37 + j * 61) % 180)
+            col = cv2.cvtColor(np.uint8([[[hue, 220, 230]]]),
+                               cv2.COLOR_HSV2BGR)[0, 0]
+            cv2.circle(canvas, (x, y), radius, tuple(int(c) for c in col), -1)
+    return canvas
+
+
+# -- labelled grids (reference name_fig / griddify / tile) -------------------- #
+
+def name_images(images, names, **text_kwargs):
+    """Stamp a label onto each image (copy)."""
+    return [draw_text(img, str(name), **text_kwargs)
+            for img, name in zip(images, names)]
+
+
+def tile_images(img_grid, h_space=1, w_space=None, bg_color=0):
+    """Tile a 2D list of equally-sized images with spacing."""
+    w_space = h_space if w_space is None else w_space
+    rows = []
+    for row in img_grid:
+        H = row[0].shape[0]
+        spacer = np.full((H, w_space, 3), bg_color, np.uint8)
+        parts = []
+        for i, img in enumerate(row):
+            if i:
+                parts.append(spacer)
+            parts.append(img)
+        rows.append(np.concatenate(parts, axis=1))
+    W = rows[0].shape[1]
+    vspace = np.full((h_space, W, 3), bg_color, np.uint8)
+    out = []
+    for i, r in enumerate(rows):
+        if i:
+            out.append(vspace)
+        out.append(r)
+    return np.concatenate(out, axis=0)
+
+
+# -- alignment / correspondence visualizations -------------------------------- #
+
+def vis_flow_align(flow, src_img, dst_img, alpha=0.5):
+    """Warp-alignment check: backward-warp dst by the flow and blend with src.
+
+    A correct flow makes the blend look sharp (reference vis_flow_align).
+    Pure numpy bilinear warp (host-side debug utility).
+    """
+    H, W = flow.shape[:2]
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    map_x = xs + np.asarray(flow, np.float32)[..., 0]
+    map_y = ys + np.asarray(flow, np.float32)[..., 1]
+    warped = cv2.remap(dst_img, map_x, map_y, cv2.INTER_LINEAR,
+                       borderMode=cv2.BORDER_CONSTANT)
+    return blend(to_gray_3ch(src_img), to_gray_3ch(warped), alpha)
+
+
+def vis_correspondences(flow, src_img, dst_img, spacing=32):
+    """Side-by-side src|dst image with correspondence lines drawn across."""
+    H, W = src_img.shape[:2]
+    canvas = np.concatenate([src_img, dst_img], axis=1).copy()
+    for y in range(spacing // 2, H, spacing):
+        for x in range(spacing // 2, W, spacing):
+            dx, dy = flow[y, x]
+            color = tuple(int(c) for c in np.random.RandomState(
+                y * W + x).randint(64, 255, 3))
+            line(canvas, (x, y), (W + x + float(dx), y + float(dy)), color)
+    return canvas
+
+
+def zoomins(img, center, zooms=(2, 4), win=64, cross=True):
+    """Cut progressively zoomed crops around a point (reference zoomins)."""
+    H, W = img.shape[:2]
+    cx, cy = int(round(center[0])), int(round(center[1]))
+    outs = []
+    for z in zooms:
+        half = max(int(round(win / (2 * z))), 2)
+        x0, x1 = np.clip([cx - half, cx + half], 0, W - 1)
+        y0, y1 = np.clip([cy - half, cy + half], 0, H - 1)
+        crop = img[y0:y1 + 1, x0:x1 + 1]
+        crop = cv2.resize(crop, (win, win), interpolation=cv2.INTER_NEAREST)
+        if cross:
+            cv2.drawMarker(crop, (win // 2, win // 2), (0, 0, 255),
+                           cv2.MARKER_CROSS, 12, 1)
+        outs.append(crop)
+    return outs
+
+
+def resize(src, dsize=None, fx=None, fy=None, interpolation=cv2.INTER_LINEAR,
+           align_corners=False):
+    """cv2.resize with an optional align_corners=True mode.
+
+    align_corners resizing maps corner pixel CENTERS onto each other
+    (torch interpolate semantics) instead of area edges; the reference
+    implements it by remap with an explicit grid (vis_utils.py resize).
+    """
+    if not align_corners:
+        return cv2.resize(src, dsize, fx=fx, fy=fy,
+                          interpolation=interpolation)
+    H, W = src.shape[:2]
+    if dsize is None:
+        dsize = (int(round(W * fx)), int(round(H * fy)))
+    out_w, out_h = dsize
+    xs = np.linspace(0, W - 1, out_w, dtype=np.float32)
+    ys = np.linspace(0, H - 1, out_h, dtype=np.float32)
+    map_x, map_y = np.meshgrid(xs, ys)
+    return cv2.remap(src, map_x, map_y, interpolation)
+
+
+# -- matlab-style flow colormap (reference flow_viz.py flow2color_matlab) ----- #
+
+def flow_to_color_matlab(flow, max_flow=None):
+    """Middlebury 'matlab-style' variant: like flow_to_color but saturating
+    out-of-range magnitudes at full saturation instead of renormalizing."""
+    flow = np.asarray(flow, np.float32)
+    u, v = flow[..., 0], flow[..., 1]
+    rad = np.sqrt(u ** 2 + v ** 2)
+    if max_flow is None:
+        max_flow = max(float(rad.max()), 1e-5)
+    scaled = np.clip(rad / max_flow, 0, 1)
+    out = flow_to_color(np.stack([u, v], -1), rad_max=max_flow)
+    # saturate over-range pixels fully
+    over = rad > max_flow
+    if np.any(over):
+        hsv = cv2.cvtColor(out, cv2.COLOR_RGB2HSV)
+        hsv[..., 1] = np.where(over, 255, hsv[..., 1])
+        out = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+    del scaled
+    return out
+
+
+# -- interactive flow inspector (reference FlowGUI) ---------------------------- #
+
+class FlowGUI:
+    """Interactive src/dst flow inspector (reference vis_utils.FlowGUI).
+
+    Renders src|dst side by side; moving the mouse over the source half
+    draws the flow correspondence in the target half. ``render(pos)`` is
+    the pure part (headless-testable); ``run()`` opens a cv2 window.
+    """
+
+    def __init__(self, flow, src_img, dst_img, occlusion=None, sigma=None):
+        self.flow = np.asarray(flow, np.float32)
+        self.src = src_img
+        self.dst = dst_img
+        self.occl = occlusion
+        self.sigma = sigma
+        self.H, self.W = src_img.shape[:2]
+
+    def render(self, pos):
+        x, y = int(np.clip(pos[0], 0, self.W - 1)), int(np.clip(pos[1], 0, self.H - 1))
+        canvas = np.concatenate([self.src, self.dst], axis=1).copy()
+        dx, dy = self.flow[y, x]
+        occluded = self.occl is not None and self.occl[y, x] > 0.5
+        color = (0, 0, 255) if occluded else (0, 255, 0)
+        circle(canvas, (x, y), 4, color, 2)
+        circle(canvas, (self.W + x + float(dx), y + float(dy)), 4, color, 2)
+        line(canvas, (x, y), (self.W + x + float(dx), y + float(dy)), color)
+        label = f"({x},{y}) -> ({x + dx:.1f},{y + dy:.1f})"
+        if self.sigma is not None:
+            label += f" sigma={float(self.sigma[y, x]):.2f}"
+        if occluded:
+            label += " OCCL"
+        return draw_text(canvas, label)
+
+    def run(self, window="FlowGUI"):  # pragma: no cover - needs a display
+        state = {"pos": (self.W // 2, self.H // 2)}
+
+        def on_mouse(event, x, y, flags, param):
+            state["pos"] = (x, y)
+
+        cv2.namedWindow(window)
+        cv2.setMouseCallback(window, on_mouse)
+        while True:
+            cv2.imshow(window, self.render(state["pos"]))
+            if cv2.waitKey(16) in (27, ord("q")):
+                break
+        cv2.destroyWindow(window)

@@ -89,3 +89,57 @@ def test_notifications_noop():
         return 42
 
     assert f() == 42
+
+
+def test_lookahead_iter():
+    from mft_tpu.io.video import LookaheadIter
+    it = LookaheadIter(iter([1, 2, 3]))
+    assert it.peek() == 1
+    assert next(it) == 1          # peek did not consume
+    assert list(it.lookahead()) == [2, 3]
+    assert next(it) == 2          # lookahead did not consume
+    assert next(it) == 3
+    assert it.peek("end") == "end"
+
+
+def test_forward_interpolate_constant_flow():
+    import numpy as np
+    from mft_tpu.models.raft.upsample import forward_interpolate
+    flow = np.full((16, 20, 2), 2.0, np.float32)
+    out = forward_interpolate(flow)
+    assert out.shape == (16, 20, 2)
+    # constant flow advected forward stays (nearly) constant in the interior
+    assert np.allclose(out[4:-4, 4:-4], 2.0, atol=1e-5)
+
+
+def test_input_crop_and_resize_roundtrip():
+    import numpy as np
+    import jax.numpy as jnp
+    from mft_tpu.models.raft.upsample import InputCropAndResize
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 32, 48, 3)),
+                    jnp.float32)
+    car = InputCropAndResize(0.5)
+    (cropped,) = car.crop(x)
+    assert cropped.shape == (1, 16, 24, 3)
+    (up,) = car.upsize(cropped)
+    assert up.shape == x.shape
+    flow = jnp.ones((1, 32, 48, 2), jnp.float32) * 8.0
+    (down_flow,) = car.downsize_flow(flow)
+    assert down_flow.shape == (1, 16, 24, 2)
+    # values scaled by the size ratio (0.5)
+    assert np.allclose(np.asarray(down_flow), 4.0, atol=1e-4)
+
+
+def test_small_raft_parity_shapes():
+    """Small-model update path: ConvGRU + no up-mask (upflow8)."""
+    import jax
+    import jax.numpy as jnp
+    from mft_tpu.models.raft.raft import RAFT, RAFTParams
+    cfg = RAFTParams(small=True, occlusion_module=None)
+    model = RAFT(cfg=cfg, train_mode=False)
+    img = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), img, img, iters=1)
+    out = model.apply(v, img, img, iters=2, test_mode=True)
+    assert out["flow"].shape == (1, 64, 96, 2)
+    n_params = sum(x.size for x in jax.tree.leaves(v))
+    assert 0.9e6 < n_params < 1.1e6  # reference small RAFT ~1.0M params
