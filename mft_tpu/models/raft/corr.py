@@ -164,6 +164,11 @@ def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4,
     """
     B, H, W, _ = coords.shape
     c = coords.reshape(B, H * W, 2)
+    if isinstance(pyramid, tuple) and pyramid[0] == "alt":
+        from mft_tpu.ops.alt_corr_pallas import corr_lookup_alt
+        _, f1_flat, f2_pyr = pyramid
+        out = corr_lookup_alt(f1_flat, f2_pyr, c, radius)
+        return out.reshape(B, H, W, -1)
     if method in ("auto", "pallas"):
         from mft_tpu.ops.corr_lookup_pallas import corr_lookup_pallas, _tile_p
         use_pallas = method == "pallas" or jax.default_backend() == "tpu"

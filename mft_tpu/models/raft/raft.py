@@ -31,7 +31,8 @@ from mft_tpu.models.raft.update import (
     SmallUpdateBlock,
 )
 from mft_tpu.models.raft.corr import build_corr_pyramid, corr_lookup
-from mft_tpu.models.raft.upsample import convex_upsample, upflow8
+from mft_tpu.models.raft.upsample import (convex_upsample_multi,
+                                           upflow8, upsample8)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -153,8 +154,24 @@ class RAFT(nn.Module):
         fmaps = self.fnet(jnp.concatenate([image1, image2], axis=0))
         fmap1, fmap2 = fmaps[:B], fmaps[B:]
 
-        pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels,
-                                     cfg.normalized_features, dtype=cfg.dtype)
+        if cfg.corr_method == "alt":
+            # low-memory path (reference AlternateCorrBlock/alt_cuda_corr):
+            # keep only the feature pyramid; the lookup kernel recomputes
+            # the needed correlation slices in VMEM every iteration
+            from mft_tpu.ops.alt_corr_pallas import build_feature_pyramid
+            f1 = fmap1
+            f2 = fmap2
+            if cfg.normalized_features:
+                norm = lambda f: f / jnp.linalg.norm(
+                    f.astype(jnp.float32), axis=-1, keepdims=True).astype(f.dtype)
+                f1, f2 = norm(f1), norm(f2)
+            pyramid = ("alt", f1.reshape(B, H8 * W8, -1),
+                       build_feature_pyramid(f2, cfg.corr_levels,
+                                             dtype=cfg.dtype))
+        else:
+            pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels,
+                                         cfg.normalized_features,
+                                         dtype=cfg.dtype)
 
         cnet = self.cnet(image1)
         net = jnp.tanh(cnet[..., : cfg.hidden_dim])
@@ -180,17 +197,9 @@ class RAFT(nn.Module):
 
             is_last = itr == iters - 1
             need_up = (not test_mode) or is_last
-            if need_up:
-                if up_mask is None:  # small model: plain x8 bilinear
-                    flow_up = upflow8(coords1 - coords0)
-                else:
-                    flow_up = convex_upsample(coords1 - coords0,
-                                              up_mask.astype(jnp.float32),
-                                              mult_coef=8.0)
-                flow_preds.append(flow_up)
-
             ou_this_iter = cfg.occlusion_estimation and (
                 is_last if (test_mode or cfg.ou_last_iter_only) else True)
+
             if ou_this_iter:
                 occlusion, uncertainty = self.occlusion_block(
                     jax.lax.stop_gradient(net),
@@ -200,18 +209,38 @@ class RAFT(nn.Module):
                     jax.lax.stop_gradient(delta_flow),
                     motion_features,
                 )
-                occl_up = convex_upsample(occlusion.astype(jnp.float32),
-                                          up_mask.astype(jnp.float32),
-                                          mult_coef=1.0)
-                occl_preds.append(occl_up)
-                if cfg.uncertainty_estimation:
-                    uncertainty_up = convex_upsample(
-                        uncertainty.astype(jnp.float32),
-                        up_mask.astype(jnp.float32),
-                        mult_coef=cfg.uncertainty_upsample_mult)
-                    if cfg.relu_uncertainty:
-                        uncertainty_up = nn.relu(uncertainty_up)
-                    unc_preds.append(uncertainty_up)
+
+            # one shared-mask convex upsampling for every field of this
+            # iteration (upsample.py convex_upsample_multi)
+            if need_up or ou_this_iter:
+                fields, coefs = [], []
+                if need_up:
+                    fields.append(coords1 - coords0)
+                    coefs.append(8.0)
+                if ou_this_iter:
+                    fields.append(occlusion.astype(jnp.float32))
+                    coefs.append(1.0)
+                    if cfg.uncertainty_estimation:
+                        fields.append(uncertainty.astype(jnp.float32))
+                        coefs.append(cfg.uncertainty_upsample_mult)
+                if up_mask is None:  # small model: plain x8 bilinear
+                    ups = [upflow8(fields[0])] if need_up else []
+                    ups += [upsample8(f * c) for f, c in
+                            zip(fields[len(ups):], coefs[len(ups):])]
+                else:
+                    ups = convex_upsample_multi(
+                        fields, up_mask.astype(jnp.float32), coefs)
+                if need_up:
+                    flow_up = ups.pop(0)
+                    flow_preds.append(flow_up)
+                if ou_this_iter:
+                    occl_up = ups.pop(0)
+                    occl_preds.append(occl_up)
+                    if cfg.uncertainty_estimation:
+                        uncertainty_up = ups.pop(0)
+                        if cfg.relu_uncertainty:
+                            uncertainty_up = nn.relu(uncertainty_up)
+                        unc_preds.append(uncertainty_up)
 
         outputs = {}
         if test_mode:

@@ -1,0 +1,130 @@
+"""On-the-fly correlation lookup (TPU equivalent of alt_cuda_corr).
+
+The reference's CUDA kernel (MFT/RAFT/alt_cuda_corr/correlation_kernel.cu:
+19-119, used via AlternateCorrBlock, corr.py:72-100) avoids materializing
+the O((H*W)^2) all-pairs volume by computing window correlations directly
+from the feature maps. This kernel is the same trade on TPU: per pixel
+tile, the tile's slice of the correlation map is recomputed in VMEM with
+one MXU dot against the (tiny, VMEM-resident) target feature pyramid, then
+tent-contracted to the (2r+1)^2 window — HBM never sees a volume.
+
+vs. the default path (corr_lookup_pallas over a materialized volume):
+  - memory: O(B * HW * C) features instead of O(B * HW^2) volume — at
+    1024x1024 the volume is ~4.3 GB/pair where features are ~17 MB;
+  - compute: the all-pairs dot is redone every GRU iteration (12x), so at
+    moderate sizes the default path is faster. 'auto' keeps the volume.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mft_tpu.ops.corr_lookup_pallas import _interpret, _tile_p
+
+
+def build_feature_pyramid(fmap2, num_levels: int = 4, dtype=jnp.bfloat16):
+    """Average-pooled target features, flattened per level: [(B, h*w, C)].
+
+    Pooling features == pooling the correlation volume (the dot is linear),
+    matching reference CorrBlock pyramid semantics (corr.py:26-28).
+    """
+    B, H, W, C = fmap2.shape
+    out = []
+    f = fmap2
+    for lvl in range(num_levels):
+        if lvl > 0:
+            h, w = f.shape[1:3]
+            f = f[:, : h - h % 2, : w - w % 2]
+            s = f.shape
+            f = f.reshape(B, s[1] // 2, 2, s[2] // 2, 2, C).mean(axis=(2, 4))
+        h, w = f.shape[1:3]
+        out.append((f.reshape(B, h * w, C).astype(dtype), (h, w)))
+    return out
+
+
+def _alt_kernel(coords_ref, f1_ref, *f2_refs, radius: int, tile_p: int,
+                dims, inv_sqrt_c: float):
+    out_ref = f2_refs[-1]
+    f2_refs = f2_refs[:-1]
+    n = 2 * radius + 1
+    f1 = f1_ref[0]                                   # (TILE_P, C)
+    c = coords_ref[0]                                # (TILE_P, 2)
+    cx = c[:, 0]
+    cy = c[:, 1]
+
+    for lvl, f2_ref in enumerate(f2_refs):
+        h, w = dims[lvl]
+        inv = 1.0 / (2.0 ** lvl)
+        sx = (cx * inv)[:, None]                     # (TILE_P, 1)
+        sy = cy * inv                                # (TILE_P,)
+
+        f2 = f2_ref[0]                               # (h*w, C)
+        # the tile's slice of the correlation map, recomputed on the MXU
+        g = jax.lax.dot_general(
+            f1, f2,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * inv_sqrt_c  # (TILE_P, h*w)
+
+        # y tent contraction over static row slices of g
+        t = [jnp.zeros((tile_p, w), jnp.float32) for _ in range(n)]
+        for y in range(h):
+            row = g[:, y * w:(y + 1) * w]            # (TILE_P, w)
+            d = sy - float(y)
+            for j in range(n):
+                wj = jnp.maximum(0.0, 1.0 - jnp.abs(d + (j - radius)))
+                t[j] = t[j] + row * wj[:, None]
+
+        # x tent contraction
+        xx = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_p, w), 1).astype(jnp.float32)
+        base = lvl * n * n
+        for i in range(n):
+            wi = jnp.maximum(0.0, 1.0 - jnp.abs(sx + (i - radius) - xx))
+            for j in range(n):
+                out_ref[0, :, base + i * n + j] = jnp.sum(t[j] * wi, axis=1)
+
+
+def corr_lookup_alt(fmap1_flat, f2_pyramid, coords, radius: int = 4,
+                    tile_p: int = 128):
+    """Window correlation lookup straight from features (no volume).
+
+    args:
+      fmap1_flat: (B, P, C) source features (1/sqrt(C) scaling applied here).
+      f2_pyramid: output of :func:`build_feature_pyramid`.
+      coords: (B, P, 2) float32 level-0 correspondence centers.
+    returns:
+      (B, P, L*(2r+1)^2) float32, same ordering as corr_lookup_pallas.
+    """
+    B, P, C = fmap1_flat.shape
+    n = 2 * radius + 1
+    L = len(f2_pyramid)
+    tp = _tile_p(P, tile_p)
+    if tp < 8:
+        raise ValueError(f"P={P} has no power-of-two tiling")
+    dims = tuple(hw for _, hw in f2_pyramid)
+
+    in_specs = [
+        pl.BlockSpec((1, tp, 2), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tp, C), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for f2, (h, w) in f2_pyramid:
+        in_specs.append(pl.BlockSpec((1, h * w, C), lambda b, t: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    kernel = functools.partial(_alt_kernel, radius=radius, tile_p=tp,
+                               dims=dims, inv_sqrt_c=float(C) ** -0.5)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, P // tp),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tp, L * n * n), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, P, L * n * n), jnp.float32),
+        interpret=_interpret(),
+    )(coords.astype(jnp.float32),
+      fmap1_flat.astype(f2_pyramid[0][0].dtype),
+      *[f2 for f2, _ in f2_pyramid])

@@ -124,3 +124,38 @@ def test_chain_select_pallas_matches_ref(rng):
     assert sig_close.mean() > 0.99
     flow_close = np.isclose(np.asarray(a.flow), np.asarray(b.flow), atol=0.15)
     assert flow_close.mean() > 0.98
+
+
+def test_alt_corr_matches_volume_lookup(rng):
+    """On-the-fly alt corr (no materialized volume) == volume lookup."""
+    from mft_tpu.ops.alt_corr_pallas import (build_feature_pyramid,
+                                             corr_lookup_alt)
+    B, H8, W8, C = 1, 16, 32, 64
+    P = H8 * W8
+    f1, f2 = _pyramid(rng, B, H8, W8, C)
+    pyr = build_corr_pyramid(f1, f2, 4)
+    coords = jnp.asarray(rng.uniform(-3, 40, (B, P, 2)).astype(np.float32))
+    want = corr_lookup(pyr, coords.reshape(B, H8, W8, 2), 4,
+                       method="gather").reshape(B, P, -1)
+    f2pyr = build_feature_pyramid(f2, 4, dtype=jnp.float32)
+    got = corr_lookup_alt(f1.reshape(B, P, C), f2pyr, coords, 4, tile_p=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_alt_corr_full_model(rng):
+    """RAFT with corr_method='alt' matches the default path."""
+    import jax
+    from mft_tpu.models.raft.raft import RAFT, RAFTParams
+
+    img1 = jnp.asarray(rng.uniform(0, 255, (1, 64, 96, 3)).astype(np.float32))
+    img2 = jnp.asarray(rng.uniform(0, 255, (1, 64, 96, 3)).astype(np.float32))
+    out = {}
+    for method in ("mxu", "alt"):
+        cfg = RAFTParams(corr_method=method)
+        model = RAFT(cfg=cfg, train_mode=False)
+        v = model.init(jax.random.PRNGKey(0), img1, img2, iters=1)
+        out[method] = model.apply(v, img1, img2, iters=3, test_mode=True)
+    np.testing.assert_allclose(np.asarray(out["alt"]["flow"]),
+                               np.asarray(out["mxu"]["flow"]),
+                               atol=0.05, rtol=0.01)

@@ -124,3 +124,20 @@ def test_full_raft_forward_parity(rng):
     want_coords = out_t["coords"].numpy()
     got_coords = np.transpose(np.asarray(out_j["coords"]), (0, 3, 1, 2))
     np.testing.assert_allclose(got_coords, want_coords, atol=5e-3, rtol=1e-3)
+
+
+def test_convex_upsample_multi_matches_single(rng):
+    """Shared-mask multi-field upsampling == independent per-field calls."""
+    import jax.numpy as jnp
+    from mft_tpu.models.raft.upsample import (convex_upsample,
+                                              convex_upsample_multi)
+    B, h, w = 2, 8, 12
+    mask = jnp.asarray(rng.standard_normal((B, h, w, 576)).astype(np.float32))
+    fl = jnp.asarray(rng.standard_normal((B, h, w, 2)).astype(np.float32))
+    oc = jnp.asarray(rng.standard_normal((B, h, w, 2)).astype(np.float32))
+    un = jnp.asarray(rng.standard_normal((B, h, w, 1)).astype(np.float32))
+    multi = convex_upsample_multi([fl, oc, un], mask, [8.0, 1.0, 8.0])
+    singles = [convex_upsample(fl, mask, 8.0), convex_upsample(oc, mask, 1.0),
+               convex_upsample(un, mask, 8.0)]
+    for m, s in zip(multi, singles):
+        np.testing.assert_allclose(np.asarray(m), np.asarray(s), atol=1e-5)
