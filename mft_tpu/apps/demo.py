@@ -110,9 +110,16 @@ def get_parser():
     return parser
 
 
-def main():
+def _main():
     logging.basicConfig(level=logging.INFO)
     run(get_parser().parse_args())
+
+
+def main():
+    import os
+    from mft_tpu.utils.various import with_debugger
+    entry = _main if not os.environ.get("MFT_TPU_DEBUG") else with_debugger(_main)
+    entry()
 
 
 if __name__ == "__main__":

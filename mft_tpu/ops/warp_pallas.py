@@ -213,3 +213,116 @@ def split_hi_lo(x):
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
+
+
+def _blocked_kernel(coords_ref, maps_ref, out_ref, *, C: int,
+                    tile_p: int, ywin: int, xband: int, W: int):
+    H = maps_ref.shape[1]
+    n_xb = W // xband
+    c = coords_ref[0]                           # (TILE_P, 2) f32, pre-snapped
+    sx = c[:, 0][:, None]
+    sy = c[:, 1][:, None]
+    x_lo = jnp.min(sx)
+    x_hi = jnp.max(sx)
+    y_lo = jnp.min(sy)
+    y_hi = jnp.max(sy)
+
+    # dynamic y window: an 8-aligned YWIN-row slab covering the tile's
+    # samples (tiles are 2D image blocks, so the y spread is local for
+    # smooth flow). If the spread exceeds the window, fall back to all rows.
+    y0f = jnp.clip(jnp.floor((y_lo - 1.0) / 8.0) * 8.0, 0.0,
+                   float(H - ywin))
+    # sample y touches rows floor(y) and floor(y)+1; both must lie within
+    # [y0, y0+ywin-1], i.e. y <= y0+ywin-1 (at equality the upper tap's
+    # tent weight is exactly zero)
+    y_fits = y_hi <= y0f + (ywin - 1)
+    y0 = pl.multiple_of(y0f.astype(jnp.int32), 8)
+
+    xw = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_p, xband), 1).astype(jnp.float32)
+    out_ref[0] = jnp.zeros((tile_p, C), jnp.float32)
+
+    def do_block(lane0, xb, rows, row0):
+        """rows: (K, C*XB) map slab starting at absolute row `row0`."""
+        k = rows.shape[0]
+        yy = row0.astype(jnp.float32) + jax.lax.broadcasted_iota(
+            jnp.int32, (tile_p, k), 1).astype(jnp.float32)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - yy))
+        r = jax.lax.dot_general(
+            wy.astype(jnp.bfloat16), rows.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (TILE_P, C*XB)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx - (xb * xband) - xw))
+        for ci in range(C):
+            out_ref[0, :, ci] += jnp.sum(
+                r[:, ci * xband:(ci + 1) * xband] * wx, axis=1)
+
+    for xb in range(n_xb):
+        x_touch = jnp.logical_and(x_hi > xb * xband - 1.0,
+                                  x_lo < (xb + 1) * xband)
+        lane0 = xb * C * xband
+
+        @pl.when(jnp.logical_and(x_touch, y_fits))
+        def _(xb=xb, lane0=lane0):
+            rows = maps_ref[0, pl.ds(y0, ywin), lane0:lane0 + C * xband]
+            do_block(lane0, xb, rows, y0)
+
+        @pl.when(jnp.logical_and(x_touch, jnp.logical_not(y_fits)))
+        def _(xb=xb, lane0=lane0):
+            rows = maps_ref[0, :, lane0:lane0 + C * xband]
+            do_block(lane0, xb, rows, jnp.int32(0))
+
+
+def bilinear_warp_blocked(maps, coords, ywin: int = 128, xband: int = 128,
+                          block_hw=(16, 32)):
+    """2D-block-tiled band-sparse warp: pixels are re-tiled into BHxBW image
+    blocks so a tile's sample coordinates are local in BOTH axes. Per tile,
+    the tent matmul contracts only a dynamic 8-aligned YWIN-row slab of the
+    map (one dynamic sublane slice — no per-band accumulator or zero-fill)
+    and only the touched static x-blocks; tiles whose y spread exceeds the
+    window fall back to all rows (exact for arbitrary flow).
+
+    args: maps (N, H, W, C); coords (N, H*W, 2) in RASTER order (this
+    function handles the block reordering). Requires H % (ywin, BH) == 0
+    and W % (xband, BW) == 0; otherwise falls back to the 1D-banded kernel.
+    returns: (N, H*W, C) float32 in raster order.
+    """
+    N, H, W, C = maps.shape
+    P = coords.shape[1]
+    BH, BW = block_hw
+    tp = BH * BW
+    if (P != H * W or H % ywin or W % xband or H % BH or W % BW
+            or H // ywin < 2 or W // xband < 2):
+        return bilinear_warp_banded(maps, coords)
+
+    # x-block-major channel grouping: lane index = (xb*C + c)*XB + xw
+    n_xb = W // xband
+    maps2 = (maps.reshape(N, H, n_xb, xband, C)
+             .transpose(0, 1, 2, 4, 3)
+             .reshape(N, H, n_xb * C * xband))
+
+    # raster -> (BH, BW) block order
+    coords = _snap256(coords.astype(jnp.float32))
+    cb = (coords.reshape(N, H // BH, BH, W // BW, BW, 2)
+          .transpose(0, 1, 3, 2, 4, 5).reshape(N, P, 2))
+
+    kernel = functools.partial(_blocked_kernel, C=C, tile_p=tp,
+                               ywin=ywin, xband=xband, W=W)
+    out = pl.pallas_call(
+        kernel,
+        grid=(N, P // tp),
+        in_specs=[
+            pl.BlockSpec((1, tp, 2), lambda n, t: (n, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, n_xb * C * xband), lambda n, t: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tp, C), lambda n, t: (n, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, P, C), jnp.float32),
+        interpret=_interpret(),
+    )(cb, maps2)
+
+    # block order -> raster
+    return (out.reshape(N, H // BH, W // BW, BH, BW, C)
+            .transpose(0, 1, 3, 2, 4, 5).reshape(N, P, C))

@@ -82,7 +82,7 @@ def chain_select_pallas(left: FlowOU, right: FlowOU, valid: jnp.ndarray,
     flow reconstructs to ~2^-16 relative; occl/sigma carry bf16 map
     quantization (~0.4%) which only matters at exact selection ties.
     """
-    from mft_tpu.ops.warp_pallas import bilinear_warp_banded, split_hi_lo
+    from mft_tpu.ops.warp_pallas import bilinear_warp_blocked, split_hi_lo
 
     N, H, W = left.occlusion.shape
     grid = grid_coords(H, W)
@@ -95,7 +95,7 @@ def chain_select_pallas(left: FlowOU, right: FlowOU, valid: jnp.ndarray,
         right.occlusion[..., None].astype(jnp.bfloat16),
         right.sigma[..., None].astype(jnp.bfloat16),
     ], axis=-1)                                                  # (N,H,W,6)
-    samp = bilinear_warp_banded(maps, coords_b).reshape(N, H, W, 6)
+    samp = bilinear_warp_blocked(maps, coords_b).reshape(N, H, W, 6)
     samp_flow = samp[..., 0:2] + samp[..., 2:4]
     samp_occl = samp[..., 4]
     samp_sigma = samp[..., 5]

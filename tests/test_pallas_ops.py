@@ -159,3 +159,27 @@ def test_alt_corr_full_model(rng):
     np.testing.assert_allclose(np.asarray(out["alt"]["flow"]),
                                np.asarray(out["mxu"]["flow"]),
                                atol=0.05, rtol=0.01)
+
+
+def test_bilinear_warp_blocked_matches_banded(rng):
+    """2D-block-tiled warp == 1D-banded warp (wild + local coords)."""
+    from mft_tpu.ops.warp_pallas import (bilinear_warp_banded,
+                                         bilinear_warp_blocked)
+    N, H, W, C = 1, 64, 64, 3
+    P = H * W
+    maps = jnp.asarray(rng.standard_normal((N, H, W, C)).astype(np.float32))
+    for kind in ("wild", "local"):
+        if kind == "wild":
+            coords = jnp.asarray(
+                (rng.random((N, P, 2)) * [[W * 1.3, H * 1.3]] - 4)
+                .astype(np.float32))
+        else:
+            g = np.mgrid[0:H, 0:W].transpose(1, 2, 0)[..., ::-1]
+            coords = jnp.asarray(
+                (g.reshape(1, P, 2) + rng.random((N, P, 2)) * 4 - 2)
+                .astype(np.float32))
+        want = bilinear_warp_banded(maps, coords, band=16, tile_p=64)
+        got = bilinear_warp_blocked(maps, coords, ywin=16, xband=16,
+                                    block_hw=(8, 8))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, err_msg=kind)
