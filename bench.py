@@ -41,7 +41,7 @@ def main():
     tracker = MFT(cfg)
     H = W = 512
     rng = np.random.default_rng(0)
-    n_warm, chunk, n_chunks = 4, 4, 3
+    n_warm, chunk, n_chunks = 4, 4, 5
     n_frames = 1 + n_warm + chunk * n_chunks
     frames = [rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
               for _ in range(n_frames)]

@@ -138,6 +138,23 @@ class RAFT(nn.Module):
             self.occlusion_block = OcclusionAndUncertaintyBlock(
                 architecture=self.cfg.ou_architecture, dtype=dt)
 
+    def encode(self, image, normalise_input: bool = True,
+               with_context: bool = True):
+        """Per-frame encoder features: (fmap, cnet_out or None).
+
+        Exposed separately so the tracker can CACHE features in its ring
+        memory — every left frame of a delta pair was already the current
+        frame once, and the 7 pairs share one right frame, so per tracked
+        frame only ONE image ever needs encoding (vs 14 fnet + 7 cnet
+        passes when encoding pairs from scratch).
+        """
+        if normalise_input:
+            image = 2.0 * (image.astype(jnp.float32) / 255.0) - 1.0
+        image = image.astype(self.cfg.dtype)
+        fmap = self.fnet(image)
+        cnet = self.cnet(image) if with_context else None
+        return fmap, cnet
+
     def __call__(self, image1, image2, iters: int = 12, flow_init=None,
                  test_mode: bool = True, normalise_input: bool = True):
         cfg = self.cfg
@@ -148,11 +165,27 @@ class RAFT(nn.Module):
         image2 = image2.astype(cfg.dtype)
 
         B, H, W, _ = image1.shape
-        H8, W8 = H // 8, W // 8
 
         # one batched conv pass over both frames (reference extractor.py:171-174)
         fmaps = self.fnet(jnp.concatenate([image1, image2], axis=0))
         fmap1, fmap2 = fmaps[:B], fmaps[B:]
+        cnet = self.cnet(image1)
+        return self.flow_from_features(fmap1, fmap2, cnet, iters=iters,
+                                       flow_init=flow_init,
+                                       test_mode=test_mode)
+
+    def flow_from_features(self, fmap1, fmap2, cnet, iters: int = 12,
+                           flow_init=None, test_mode: bool = True):
+        """Everything after the encoders (pyramid -> GRU loop -> heads).
+
+        args: fmap1/fmap2 (B, H/8, W/8, 256) fnet features of the two
+        frames, cnet (B, H/8, W/8, 256) context features of frame 1 — all
+        as produced by :meth:`encode`. Split out so cached features can be
+        fed directly (tracker feature-ring memory).
+        """
+        cfg = self.cfg
+        B, H8, W8, _ = fmap1.shape
+        H, W = H8 * 8, W8 * 8
 
         if cfg.corr_method == "alt":
             # low-memory path (reference AlternateCorrBlock/alt_cuda_corr):
@@ -173,7 +206,6 @@ class RAFT(nn.Module):
                                          cfg.normalized_features,
                                          dtype=cfg.dtype)
 
-        cnet = self.cnet(image1)
         net = jnp.tanh(cnet[..., : cfg.hidden_dim])
         inp = nn.relu(cnet[..., cfg.hidden_dim:])
 

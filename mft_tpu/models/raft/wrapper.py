@@ -129,6 +129,46 @@ class RAFTFlow:
 
         return fwd
 
+    def padded_encode(self, H, W):
+        """Unjitted closure: (variables, (B,H,W,3) [0,255] RGB images) ->
+        (fmap, cnet) at padded stride-8 resolution. For feature caching —
+        see RAFT.encode."""
+        (pt, pb), (pl, pr) = pad_to_8(H, W)
+        model = self.model
+
+        def enc(variables, images, with_context=True):
+            pad = ((0, 0), (pt, pb), (pl, pr), (0, 0))
+            x = jnp.pad(images, pad, mode="edge")
+            return model.apply(
+                variables, x,
+                method=lambda m, im: m.encode(im, with_context=with_context))
+
+        return enc
+
+    def features_forward(self, H, W):
+        """Unjitted closure: flow/occl/sigma from CACHED encoder features.
+
+        args (to the closure): variables, fmap1, fmap2, cnet1 — features at
+        the padded stride-8 resolution from :meth:`padded_encode`.
+        returns: (flow (B,H,W,2), occl (B,H,W), sigma (B,H,W)) unpadded.
+        """
+        (pt, pb), (pl, pr) = pad_to_8(H, W)
+        model, iters = self.model, self.iters
+
+        def fwd(variables, fmap1, fmap2, cnet1):
+            out = model.apply(
+                variables, fmap1, fmap2, cnet1,
+                method=lambda m, a, b, c: m.flow_from_features(
+                    a, b, c, iters=iters, test_mode=True))
+            Hp, Wp = H + pt + pb, W + pl + pr
+            unpad = lambda x: x[:, pt:Hp - pb, pl:Wp - pr]
+            flow = unpad(out["flow"])
+            occl = unpad(jax.nn.softmax(out["occlusion"], axis=-1)[..., 1])
+            sigma = unpad(jnp.sqrt(jnp.exp(out["uncertainty"][..., 0])))
+            return flow, occl, sigma
+
+        return fwd
+
     def _forward_fn(self, B, H, W, with_init):
         """Build + cache the jitted padded-forward for a given shape."""
         key = (B, H, W, with_init)

@@ -69,6 +69,17 @@ class StreamingTracker:
         self.mem_flow = self._put(jnp.zeros((C, S, H, W, 2), jnp.float32))
         self.mem_occl = self._put(jnp.zeros((C, S, H, W), jnp.float32))
         self.mem_sigma = self._put(jnp.zeros((C, S, H, W), jnp.float32))
+        # feature-ring memory (see tracker/mft.py): encode templates once
+        self.mem_fmap = self.mem_cnet = None
+        if self._use_features():
+            enc = self._get_encode()
+            fm, cn = enc(self.flower.variables, imgs.astype(jnp.float32))
+            self.mem_fmap = self._put(
+                jnp.zeros((C, S, *fm.shape[1:]), fm.dtype)
+                .at[:, self.template_slot].set(fm))
+            self.mem_cnet = self._put(
+                jnp.zeros((C, S, *cn.shape[1:]), cn.dtype)
+                .at[:, self.template_slot].set(cn))
         return FlowOU(jnp.zeros((C, H, W, 2)), jnp.zeros((C, H, W)),
                       jnp.zeros((C, H, W)))
 
@@ -80,12 +91,32 @@ class StreamingTracker:
         slots = jnp.asarray([c.slot for c in cands], jnp.int32)
         valid = jnp.asarray([c.valid for c in cands], bool)
         wslot = jnp.int32(t % self.ring)
-        step = self._get_step()
-        (self.mem_imgs, self.mem_flow, self.mem_occl, self.mem_sigma,
-         result) = step(self.mem_imgs, self.mem_flow, self.mem_occl,
-                        self.mem_sigma, imgs, slots, valid, wslot,
-                        self.flower.variables)
+        if self._use_features():
+            step = self._get_step()
+            (self.mem_imgs, self.mem_flow, self.mem_occl, self.mem_sigma,
+             self.mem_fmap, self.mem_cnet,
+             result) = step(self.mem_imgs, self.mem_flow, self.mem_occl,
+                            self.mem_sigma, self.mem_fmap, self.mem_cnet,
+                            imgs, slots, valid, wslot,
+                            self.flower.variables)
+        else:
+            step = self._get_step_images()
+            (self.mem_imgs, self.mem_flow, self.mem_occl, self.mem_sigma,
+             result) = step(self.mem_imgs, self.mem_flow, self.mem_occl,
+                            self.mem_sigma, imgs, slots, valid, wslot,
+                            self.flower.variables)
         return result
+
+    def _use_features(self):
+        return hasattr(self.flower.model, "encode")
+
+    def _get_encode(self):
+        if getattr(self, "_enc", None) is None:
+            model = self.flower.model
+            self._enc = jax.jit(lambda v, x: model.apply(
+                v, 2.0 * (x / 255.0) - 1.0,
+                method=lambda m, im: m.encode(im, normalise_input=False)))
+        return self._enc
 
     def _get_step(self):
         if self._step is not None:
@@ -108,10 +139,65 @@ class StreamingTracker:
             mem_sigma = mem_sigma.at[wslot].set(result.sigma)
             return mem_imgs, mem_flow, mem_occl, mem_sigma, result
 
+        def step(mem_imgs, mem_flow, mem_occl, mem_sigma, mem_fmap, mem_cnet,
+                 imgs, slots, valid, wslot, variables):
+            C = imgs.shape[0]
+            # encode only the C new frames; left features come from the ring
+            x = 2.0 * (imgs.astype(jnp.float32) / 255.0) - 1.0
+            f_new, c_new = model.apply(
+                variables, x,
+                method=lambda m, im: m.encode(im, normalise_input=False))
+            fmap1 = jax.vmap(lambda m: jnp.take(m, slots, axis=0))(mem_fmap)
+            cnet1 = jax.vmap(lambda m: jnp.take(m, slots, axis=0))(mem_cnet)
+            fmap2 = jnp.broadcast_to(f_new[:, None], fmap1.shape)
+            flat = lambda z: z.reshape(C * n_delta, *z.shape[2:])
+            out = model.apply(
+                variables, flat(fmap1), flat(fmap2), flat(cnet1),
+                method=lambda m, a, b, c: m.flow_from_features(
+                    a, b, c, iters=iters, test_mode=True))
+            flow = out["flow"].reshape(C, n_delta, *out["flow"].shape[1:])
+            occl = jax.nn.softmax(out["occlusion"], axis=-1)[..., 1].reshape(
+                C, n_delta, *out["flow"].shape[1:3])
+            sigma = jnp.sqrt(jnp.exp(out["uncertainty"][..., 0])).reshape(
+                C, n_delta, *out["flow"].shape[1:3])
+            (mem_imgs, mem_flow, mem_occl, mem_sigma, result) = jax.vmap(
+                per_clip, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None))(
+                mem_imgs, mem_flow, mem_occl, mem_sigma, imgs,
+                flow, occl, sigma, slots, valid, wslot)
+            mem_fmap = mem_fmap.at[:, wslot].set(f_new)
+            mem_cnet = mem_cnet.at[:, wslot].set(c_new)
+            return (mem_imgs, mem_flow, mem_occl, mem_sigma,
+                    mem_fmap, mem_cnet, result)
+
+        self._step = jax.jit(step, donate_argnums=(0, 1, 2, 3, 4, 5))
+        return self._step
+
+    def _get_step_images(self):
+        """Image-based step (no feature ring) for flow backends without an
+        ``encode`` method (e.g. test fakes): full pair-batched forward."""
+        if getattr(self, "_step_img", None) is not None:
+            return self._step_img
+        occl_thresh = float(self.C.occlusion_threshold or 0.02)
+        n_delta = len(self.deltas)
+        model = self.flower.model
+        iters = self.flower.iters
+
+        def per_clip(mem_imgs, mem_flow, mem_occl, mem_sigma, img,
+                     flows, occls, sigmas, slots, valid, wslot):
+            left = FlowOU(jnp.take(mem_flow, slots, axis=0),
+                          jnp.take(mem_occl, slots, axis=0),
+                          jnp.take(mem_sigma, slots, axis=0))
+            right = FlowOU(flows, occls, sigmas)
+            result = chain_select(left, right, valid, occl_thresh)
+            mem_imgs = mem_imgs.at[wslot].set(img)
+            mem_flow = mem_flow.at[wslot].set(result.flow)
+            mem_occl = mem_occl.at[wslot].set(result.occlusion)
+            mem_sigma = mem_sigma.at[wslot].set(result.sigma)
+            return mem_imgs, mem_flow, mem_occl, mem_sigma, result
+
         def step(mem_imgs, mem_flow, mem_occl, mem_sigma, imgs, slots, valid,
                  wslot, variables):
             C = imgs.shape[0]
-            # (C, n_delta, H, W, 3) pair batch -> one big RAFT forward
             left_imgs = jax.vmap(lambda m: jnp.take(m, slots, axis=0))(mem_imgs)
             right_imgs = jnp.broadcast_to(imgs[:, None], left_imgs.shape)
             flat = lambda x: x.reshape(C * n_delta, *x.shape[2:])
@@ -127,8 +213,8 @@ class StreamingTracker:
                 mem_imgs, mem_flow, mem_occl, mem_sigma, imgs,
                 flow, occl, sigma, slots, valid, wslot)
 
-        self._step = jax.jit(step, donate_argnums=(0, 1, 2, 3))
-        return self._step
+        self._step_img = jax.jit(step, donate_argnums=(0, 1, 2, 3))
+        return self._step_img
 
     @staticmethod
     def _to_device(frames):

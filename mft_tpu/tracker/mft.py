@@ -79,10 +79,36 @@ class MFT:
         self.mem_flow = jnp.zeros((S, H, W, 2), jnp.float32)
         self.mem_occl = jnp.zeros((S, H, W), jnp.float32)
         self.mem_sigma = jnp.zeros((S, H, W), jnp.float32)
+        self.mem_fmap = self.mem_cnet = None
+
+        if self._use_fused():
+            # feature-ring memory: encode the template once; later frames
+            # encode only themselves (see _get_fused_frame)
+            enc = self._get_encode()
+            fm, cn = enc(self.flower.variables,
+                         img_d[None].astype(jnp.float32))
+            self.mem_fmap = jnp.zeros((S, *fm.shape[1:]), fm.dtype
+                                      ).at[self.template_slot].set(fm[0])
+            self.mem_cnet = jnp.zeros((S, *cn.shape[1:]), cn.dtype
+                                      ).at[self.template_slot].set(cn[0])
 
         meta = SimpleNamespace()
         meta.result = identity_flowou((H, W))
         return meta
+
+    def _use_fused(self):
+        return (self.flow_cache is None and not bool(self.C.timers_enabled)
+                and hasattr(self.flower, "features_forward"))
+
+    def _get_encode(self):
+        key = ("enc", self.img_H, self.img_W)
+        cache = getattr(self, "_fused_frame_fns", None)
+        if cache is None:
+            cache = self._fused_frame_fns = {}
+        if key not in cache:
+            cache[key] = jax.jit(
+                self.flower.padded_encode(self.img_H, self.img_W))
+        return cache[key]
 
     # ------------------------------------------------------------------ #
     def track(self, input_img, **kwargs):
@@ -99,19 +125,21 @@ class MFT:
         img = self._to_device(input_img)
 
         cands = self._candidates(t)
-        if (self.flow_cache is None and not timers_on
-                and hasattr(self.flower, "padded_forward")):
-            # no-cache fast path: the WHOLE frame (batched RAFT forward +
-            # chain/select + memory update) is ONE jitted call — per-op
-            # dispatch through a remote device tunnel costs milliseconds,
-            # so the ~30 small ops of the split path dominate at high FPS
+        if self._use_fused() and self.mem_fmap is not None:
+            # no-cache fast path: the WHOLE frame (one-image encode into the
+            # feature ring + batched flow-from-features + chain/select +
+            # memory update) is ONE jitted call — per-op dispatch through a
+            # remote device tunnel costs milliseconds, and cached features
+            # mean 1 fnet + 1 cnet pass per frame instead of 14 + 7
             slots = jnp.asarray([c.slot for c in cands], jnp.int32)
             valid = jnp.asarray([c.valid for c in cands], bool)
             wslot = jnp.int32(t % self.ring)
             step = self._get_fused_frame()
             (self.mem_imgs, self.mem_flow, self.mem_occl, self.mem_sigma,
+             self.mem_fmap, self.mem_cnet,
              result) = step(self.flower.variables, self.mem_imgs,
                             self.mem_flow, self.mem_occl, self.mem_sigma,
+                            self.mem_fmap, self.mem_cnet,
                             img, slots, valid, wslot)
             meta = SimpleNamespace()
             meta.result = result
@@ -227,17 +255,20 @@ class MFT:
         if key in cache:
             return cache[key]
         occl_thresh = float(self.C.occlusion_threshold or 0.02)
-        fwd = self.flower.padded_forward(self.img_H, self.img_W)
+        enc = self.flower.padded_encode(self.img_H, self.img_W)
+        fwd = self.flower.features_forward(self.img_H, self.img_W)
         N = len(self.deltas)
 
-        @partial(jax.jit, donate_argnums=(1, 2, 3, 4))
-        def frame(variables, mem_imgs, mem_flow, mem_occl, mem_sigma, img,
-                  slots, valid, wslot):
-            left_imgs = jnp.take(mem_imgs, slots, axis=0)
-            right_imgs = jnp.broadcast_to(img, (N, *img.shape))
-            flows, occls, sigmas = fwd(variables,
-                                       left_imgs.astype(jnp.float32),
-                                       right_imgs.astype(jnp.float32))
+        @partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6))
+        def frame(variables, mem_imgs, mem_flow, mem_occl, mem_sigma,
+                  mem_fmap, mem_cnet, img, slots, valid, wslot):
+            # encode ONLY the new frame; every left frame's features are
+            # already in the ring (they were the current frame once)
+            f_new, c_new = enc(variables, img[None].astype(jnp.float32))
+            fmap1 = jnp.take(mem_fmap, slots, axis=0)
+            cnet1 = jnp.take(mem_cnet, slots, axis=0)
+            fmap2 = jnp.broadcast_to(f_new, (N, *f_new.shape[1:]))
+            flows, occls, sigmas = fwd(variables, fmap1, fmap2, cnet1)
             left = FlowOU(flow=jnp.take(mem_flow, slots, axis=0),
                           occlusion=jnp.take(mem_occl, slots, axis=0),
                           sigma=jnp.take(mem_sigma, slots, axis=0))
@@ -247,7 +278,10 @@ class MFT:
             mem_flow = mem_flow.at[wslot].set(result.flow)
             mem_occl = mem_occl.at[wslot].set(result.occlusion)
             mem_sigma = mem_sigma.at[wslot].set(result.sigma)
-            return mem_imgs, mem_flow, mem_occl, mem_sigma, result
+            mem_fmap = mem_fmap.at[wslot].set(f_new[0])
+            mem_cnet = mem_cnet.at[wslot].set(c_new[0])
+            return (mem_imgs, mem_flow, mem_occl, mem_sigma,
+                    mem_fmap, mem_cnet, result)
 
         cache[key] = frame
         return frame

@@ -73,3 +73,43 @@ def test_streaming_tracker_sharded(rng):
     np.testing.assert_allclose(interior, want, atol=1e-3)
     # memory buffers actually sharded over the mesh
     assert len(st.mem_flow.sharding.device_set) == 8
+
+
+def test_streaming_feature_path_matches_single_tracker():
+    """Streaming mode with the real RAFT (feature-ring path) must produce
+    the same per-clip results as the single-clip tracker."""
+    import jax.numpy as jnp
+    from mft_tpu.config import Config
+    from mft_tpu.models.raft import RAFTFlow
+    from mft_tpu.parallel.streaming import StreamingTracker
+    from mft_tpu.tracker import MFT
+
+    fc = Config()
+    fc.of_class = RAFTFlow
+    fc.raft_params = {"occlusion_module": "separate_with_uncertainty"}
+    fc.model = None
+    fc.flow_iters = 1
+    cfg = Config()
+    cfg.flow_config = fc
+    cfg.deltas = [np.inf, 1]
+    cfg.occlusion_threshold = 0.02
+
+    rng = np.random.default_rng(0)
+    T, C, H, W = 3, 2, 64, 64
+    clips = rng.integers(0, 255, (T, C, H, W, 3), dtype=np.uint8)
+
+    st = StreamingTracker(cfg, n_clips=C)
+    assert st._use_features()
+    st.init(clips[0])
+    for t in range(1, T):
+        res = st.track(clips[t])
+
+    single = MFT(cfg)
+    single.init(clips[0, 0])
+    for t in range(1, T):
+        meta = single.track(clips[t, 0])
+
+    np.testing.assert_allclose(np.asarray(res.flow[0]),
+                               np.asarray(meta.result.flow), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(res.sigma[0]),
+                               np.asarray(meta.result.sigma), atol=1e-3)
