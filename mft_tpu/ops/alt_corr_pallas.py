@@ -128,3 +128,159 @@ def corr_lookup_alt(fmap1_flat, f2_pyramid, coords, radius: int = 4,
     )(coords.astype(jnp.float32),
       fmap1_flat.astype(f2_pyramid[0][0].dtype),
       *[f2 for f2, _ in f2_pyramid])
+
+
+def _row_fold(h: int, w: int) -> int:
+    """Image rows packed per slab row (fills the 128-lane registers)."""
+    fold = max(1, min(h, 128 // max(w, 1)))
+    while h % fold:
+        fold -= 1
+    return fold
+
+
+def build_feature_pyramid_slab(fmap2, num_levels: int = 4,
+                               dtype=jnp.bfloat16):
+    """Pooled target features as row-packed slabs: [(B, h/fold, C, fold*w)].
+
+    Each slab row packs ``fold`` consecutive image rows into the lane dim
+    (lane index = f*w + x) so narrow pyramid levels still fill the 128-wide
+    vector registers; the y dim stays dynamically row-sliceable.
+    """
+    B, H, W, C = fmap2.shape
+    out = []
+    f = fmap2
+    for lvl in range(num_levels):
+        if lvl > 0:
+            h, w = f.shape[1:3]
+            f = f[:, : h - h % 2, : w - w % 2]
+            s = f.shape
+            f = f.reshape(B, s[1] // 2, 2, s[2] // 2, 2, C).mean(axis=(2, 4))
+        h, w = f.shape[1:3]
+        fold = _row_fold(h, w)
+        packed = (f.transpose(0, 1, 3, 2)               # (B, h, C, w)
+                  .reshape(B, h // fold, fold, C, w)
+                  .transpose(0, 1, 3, 2, 4)
+                  .reshape(B, h // fold, C, fold * w))
+        out.append((packed.astype(dtype), (h, w, fold)))
+    return out
+
+
+def _win_kernel(coords_ref, f1_ref, *rest, radius: int, tile_p: int,
+                dims, ywins, inv_sqrt_c: float):
+    f2_refs, out_ref = rest[:-1], rest[-1]
+    n = 2 * radius + 1
+    f1 = f1_ref[0]                                   # (TILE_P, C)
+    c = coords_ref[0]                                # (TILE_P, 2)
+    cx = c[:, 0]
+    cy = c[:, 1]
+    f1b = f1.astype(jnp.bfloat16)
+
+    for lvl, f2_ref in enumerate(f2_refs):
+        h, w, fold = dims[lvl]
+        inv = 1.0 / (2.0 ** lvl)
+        sx = (cx * inv)[:, None]                     # (TILE_P, 1)
+        sy = (cy * inv)[:, None]
+        ywin = ywins[lvl]
+        base = lvl * n * n
+
+        def level(slab_rows, row0, k):
+            """slab_rows: packed ref slice (k/fold, C, fold*w), first image
+            row `row0`."""
+            t = [jnp.zeros((tile_p, w), jnp.float32) for _ in range(n)]
+            for yp in range(k // fold):
+                g = jax.lax.dot_general(
+                    f1b, slab_rows[yp].astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * inv_sqrt_c
+                for half in range(fold):             # (TILE_P, fold*w)
+                    row = g[:, half * w:(half + 1) * w]
+                    d = sy[:, 0] - (row0.astype(jnp.float32)
+                                    + (yp * fold + half))
+                    for j in range(n):
+                        wj = jnp.maximum(0.0,
+                                         1.0 - jnp.abs(d + (j - radius)))
+                        t[j] = t[j] + row * wj[:, None]
+            xx = jax.lax.broadcasted_iota(
+                jnp.int32, (tile_p, w), 1).astype(jnp.float32)
+            for i in range(n):
+                wi = jnp.maximum(0.0, 1.0 - jnp.abs(sx + (i - radius) - xx))
+                for j in range(n):
+                    out_ref[0, :, base + i * n + j] = jnp.sum(t[j] * wi,
+                                                              axis=1)
+
+        if ywin >= h or ywin % fold:
+            level(f2_ref[0], jnp.int32(0), h)
+        else:
+            # the lookup samples a +-radius window around each coordinate,
+            # so the slab must span [y_lo - radius - 1, y_hi + radius + 1]
+            y_lo = jnp.min(sy) - (radius + 1.0)
+            y_hi = jnp.max(sy) + radius
+            y0f = jnp.clip(jnp.floor(y_lo / 8.0) * 8.0, 0.0,
+                           float(h - ywin))
+            y_fits = y_hi <= y0f + (ywin - 1)
+            y0 = pl.multiple_of(y0f.astype(jnp.int32), 8)
+
+            @pl.when(y_fits)
+            def _():
+                level(f2_ref[0, pl.ds(y0 // fold, ywin // fold)], y0, ywin)
+
+            @pl.when(jnp.logical_not(y_fits))
+            def _():
+                level(f2_ref[0], jnp.int32(0), h)
+
+
+def corr_lookup_win(fmap1_flat, f2_slabs, coords, radius: int = 4,
+                    tile_p: int = 128):
+    """Windowed on-the-fly correlation lookup (no volume, tile-local slabs).
+
+    Like :func:`corr_lookup_alt` but each pixel tile recomputes only a
+    dynamic row window of its correlation map (GRU correspondence
+    coordinates are spatially local for all but the wildest motions), so
+    both the MXU dot and the tent contraction shrink ~4x; tiles with larger
+    spread fall back to the full rows. Exact same math either way.
+
+    STATUS: experimental. Correct (see tests), but on v5e the unrolled
+    fallback branch exhausts Mosaic's scoped-VMEM stack above tile_p=32 and
+    small tiles are grid-overhead-bound — the materialized-volume kernel
+    (corr_lookup_pallas) remains the production default. Kept as the
+    starting point for a fori_loop-based rewrite.
+
+    args:
+      fmap1_flat: (B, P, C) source features.
+      f2_slabs: output of :func:`build_feature_pyramid_slab`.
+      coords: (B, P, 2) float32 level-0 centers.
+    returns: (B, P, L*(2r+1)^2) float32.
+    """
+    B, P, C = fmap1_flat.shape
+    n = 2 * radius + 1
+    L = len(f2_slabs)
+    tp = _tile_p(P, tile_p)
+    if tp < 8:
+        raise ValueError(f"P={P} has no power-of-two tiling")
+    dims = tuple(hwf for _, hwf in f2_slabs)
+    ywins = tuple(max(16, h // 4) for (h, w, fold) in dims)
+
+    in_specs = [
+        pl.BlockSpec((1, tp, 2), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tp, C), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for packed, _ in f2_slabs:
+        hp, Cc, wp = packed.shape[1:]
+        in_specs.append(pl.BlockSpec(
+            (1, hp, Cc, wp), lambda b, t: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM))
+    kernel = functools.partial(_win_kernel, radius=radius, tile_p=tp,
+                               dims=dims, ywins=ywins,
+                               inv_sqrt_c=float(C) ** -0.5)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, P // tp),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tp, L * n * n), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, P, L * n * n), jnp.float32),
+        interpret=_interpret(),
+    )(coords.astype(jnp.float32), fmap1_flat.astype(f2_slabs[0][0].dtype),
+      *[packed for packed, _ in f2_slabs])

@@ -183,3 +183,29 @@ def test_bilinear_warp_blocked_matches_banded(rng):
                                     block_hw=(8, 8))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5, err_msg=kind)
+
+
+def test_corr_lookup_win_matches_gather(rng):
+    """Windowed on-the-fly lookup (fast path + fallback) == volume lookup."""
+    from mft_tpu.ops.alt_corr_pallas import (build_feature_pyramid_slab,
+                                             corr_lookup_win)
+    B, H8, W8, C = 1, 64, 32, 64
+    P = H8 * W8
+    f1, f2 = _pyramid(rng, B, H8, W8, C)
+    pyr = build_corr_pyramid(f1, f2, 4)
+    slabs = build_feature_pyramid_slab(f2, 4, dtype=jnp.float32)
+    g = np.mgrid[0:H8, 0:W8].transpose(1, 2, 0)[..., ::-1]
+    for name, coords in [
+        ("wild", jnp.asarray(
+            (rng.random((B, P, 2)) * [[W8 * 1.4, H8 * 1.4]] - 3)
+            .astype(np.float32))),
+        ("local", jnp.asarray(
+            (g.reshape(1, P, 2) + rng.random((B, P, 2)) * 2 - 1)
+            .astype(np.float32))),
+    ]:
+        want = corr_lookup(pyr, coords.reshape(B, H8, W8, 2), 4,
+                           method="gather").reshape(B, P, -1)
+        got = corr_lookup_win(f1.reshape(B, P, C), slabs, coords, 4,
+                              tile_p=64)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-2, rtol=1e-2, err_msg=name)
