@@ -221,16 +221,18 @@ class RAFT(nn.Module):
             corr = corr_lookup(pyramid, coords1, cfg.effective_corr_radius,
                                method=cfg.corr_method)
 
-            flow = coords1 - coords0
-            net, up_mask, delta_flow, motion_features = self.update_block(
-                net, inp, corr, flow)
-            delta_flow = delta_flow.astype(jnp.float32)  # coords math in f32
-            coords1 = coords1 + delta_flow
-
             is_last = itr == iters - 1
             need_up = (not test_mode) or is_last
             ou_this_iter = cfg.occlusion_estimation and (
                 is_last if (test_mode or cfg.ou_last_iter_only) else True)
+
+            flow = coords1 - coords0
+            # the convex-upsampling mask is consumed only on iterations that
+            # upsample; skip its two convs on the others (test: all but last)
+            net, up_mask, delta_flow, motion_features = self.update_block(
+                net, inp, corr, flow, need_mask=need_up or ou_this_iter)
+            delta_flow = delta_flow.astype(jnp.float32)  # coords math in f32
+            coords1 = coords1 + delta_flow
 
             if ou_this_iter:
                 occlusion, uncertainty = self.occlusion_block(

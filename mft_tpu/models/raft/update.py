@@ -12,6 +12,7 @@ Parity notes (reference MFT/RAFT/core/update.py):
   (1ch) heads with hidden width 128.
 """
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -87,24 +88,57 @@ class BasicMotionEncoder(nn.Module):
 
 
 class SepConvGRU(nn.Module):
-    """Separable ConvGRU: horizontal (1,5) pass then vertical (5,1) pass."""
+    """Separable ConvGRU: horizontal (1,5) pass then vertical (5,1) pass.
+
+    The z (update) and r (reset) convs share their input; they are executed
+    as ONE fused conv on the MXU by concatenating their kernels along the
+    output axis at apply time (parameter layout — and therefore checkpoint
+    compatibility — is unchanged; the concat is a few KB and fuses into the
+    conv's weight load). Math is bit-identical to two separate convs.
+    """
     hidden_dim: int = 128
     dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, h, x):
+        hd = self.hidden_dim
         for suffix, ksize, pad in (("1", (1, 5), [(0, 0), (2, 2)]),
                                    ("2", (5, 1), [(2, 2), (0, 0)])):
             hx = jnp.concatenate([h, x], axis=-1)
-            z = nn.sigmoid(nn.Conv(self.hidden_dim, ksize, padding=pad,
-                                   dtype=self.dtype, name=f"convz{suffix}")(hx))
-            r = nn.sigmoid(nn.Conv(self.hidden_dim, ksize, padding=pad,
-                                   dtype=self.dtype, name=f"convr{suffix}")(hx))
-            q = nn.tanh(nn.Conv(self.hidden_dim, ksize, padding=pad,
+            convz = nn.Conv(hd, ksize, padding=pad, dtype=self.dtype,
+                            name=f"convz{suffix}")
+            convr = nn.Conv(hd, ksize, padding=pad, dtype=self.dtype,
+                            name=f"convr{suffix}")
+            zr = _fused_conv_pair(self, convz, convr, hx, ksize, pad)
+            z = nn.sigmoid(zr[..., :hd])
+            r = nn.sigmoid(zr[..., hd:])
+            q = nn.tanh(nn.Conv(hd, ksize, padding=pad,
                                 dtype=self.dtype, name=f"convq{suffix}")(
                 jnp.concatenate([r * h, x], axis=-1)))
             h = (1.0 - z) * h + z * q
         return h
+
+
+def _fused_conv_pair(parent, conv_a, conv_b, x, ksize, pad):
+    """Apply two same-shape convs sharing one input as ONE fused conv.
+
+    During init both children run normally, so parameters keep their
+    reference-compatible names/shapes (checkpoint conversion unchanged). At
+    apply time a single lax conv runs with the kernels concatenated along
+    the output-channel axis — bit-identical outputs, one MXU pass instead of
+    two. Output channels: [conv_a out, conv_b out].
+    """
+    if parent.is_initializing():
+        return jnp.concatenate([conv_a(x), conv_b(x)], axis=-1)
+    pa = parent.scope.get_variable("params", conv_a.name)
+    pb = parent.scope.get_variable("params", conv_b.name)
+    dt = conv_a.dtype
+    kernel = jnp.concatenate([pa["kernel"], pb["kernel"]], axis=-1).astype(dt)
+    bias = jnp.concatenate([pa["bias"], pb["bias"]], axis=-1).astype(dt)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dt), kernel, window_strides=(1, 1), padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + bias
 
 
 class BasicUpdateBlock(nn.Module):
@@ -113,18 +147,23 @@ class BasicUpdateBlock(nn.Module):
     dtype: object = jnp.float32
 
     @nn.compact
-    def __call__(self, net, inp, corr, flow):
+    def __call__(self, net, inp, corr, flow, need_mask: bool = True):
         motion_features = BasicMotionEncoder(dtype=self.dtype,
                                              name="encoder")(flow, corr)
         gru_in = jnp.concatenate([inp, motion_features], axis=-1)
         net = SepConvGRU(self.hidden_dim, dtype=self.dtype, name="gru")(net, gru_in)
         delta_flow = FlowHead(256, 2, dtype=self.dtype, name="flow_head")(net)
 
-        # mask head scaled 0.25 to balance gradients (reference update.py:237)
-        m = nn.relu(nn.Conv(256, (3, 3), padding=_pad(3), dtype=self.dtype,
-                            name="mask_conv1")(net))
-        up_mask = 0.25 * nn.Conv(576, (1, 1), padding="VALID", dtype=self.dtype,
-                                 name="mask_conv2")(m)
+        # mask head scaled 0.25 to balance gradients (reference update.py:237).
+        # At test time the mask is only consumed on the final iteration
+        # (raft.py upsamples once); need_mask=False skips the two convs
+        # explicitly instead of relying on XLA dead-code elimination.
+        up_mask = None
+        if need_mask or self.is_initializing():
+            m = nn.relu(nn.Conv(256, (3, 3), padding=_pad(3), dtype=self.dtype,
+                                name="mask_conv1")(net))
+            up_mask = 0.25 * nn.Conv(576, (1, 1), padding="VALID",
+                                     dtype=self.dtype, name="mask_conv2")(m)
         return net, up_mask, delta_flow, motion_features
 
 
@@ -174,7 +213,8 @@ class SmallUpdateBlock(nn.Module):
     dtype: object = jnp.float32
 
     @nn.compact
-    def __call__(self, net, inp, corr, flow):
+    def __call__(self, net, inp, corr, flow, need_mask: bool = True):
+        del need_mask  # no mask head in the small model (upflow8 upsampling)
         motion_features = SmallMotionEncoder(dtype=self.dtype,
                                              name="encoder")(flow, corr)
         gru_in = jnp.concatenate([inp, motion_features], axis=-1)
@@ -198,7 +238,32 @@ class OcclusionAndUncertaintyBlock(nn.Module):
         x = jnp.concatenate([net.astype(dt), inp.astype(dt), corr.astype(dt),
                              flow.astype(dt), delta_flow.astype(dt),
                              motion_features.astype(dt)], axis=-1)
-        head = SimpleHead if self.architecture == "simple" else MoreLayersHead
+        if self.architecture == "simple":
+            # both heads' first convs (3x3, 712 -> 128 each) share the input;
+            # run them as one fused 712 -> 256 conv (bit-identical, see
+            # _fused_conv_pair) so the wide input is read once
+            occl_head = SimpleHead(128, 2, dtype=dt, name="occl_head")
+            unc_head = SimpleHead(128, 1, dtype=dt, name="uncertainty_head")
+            if self.is_initializing():
+                return occl_head(x), unc_head(x)
+            po = self.scope.get_variable("params", "occl_head")
+            pu = self.scope.get_variable("params", "uncertainty_head")
+            kernel = jnp.concatenate([po["conv1"]["kernel"],
+                                      pu["conv1"]["kernel"]], axis=-1).astype(dt)
+            bias = jnp.concatenate([po["conv1"]["bias"],
+                                    pu["conv1"]["bias"]], axis=-1).astype(dt)
+            h = jax.lax.conv_general_dilated(
+                x, kernel, window_strides=(1, 1), padding=_pad(3),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+            h = nn.relu(h)
+            conv2 = lambda p, hh: (jax.lax.conv_general_dilated(
+                hh, p["conv2"]["kernel"].astype(dt), window_strides=(1, 1),
+                padding=_pad(3), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                + p["conv2"]["bias"].astype(dt))
+            occl = conv2(po, h[..., :128])
+            uncertainty = conv2(pu, h[..., 128:])
+            return occl, uncertainty
+        head = MoreLayersHead
         occl = head(128, 2, dtype=dt, name="occl_head")(x)
         uncertainty = head(128, 1, dtype=dt, name="uncertainty_head")(x)
         return occl, uncertainty

@@ -31,8 +31,9 @@ def convex_upsample_multi(fields, mask, mult_coefs):
     f = jnp.concatenate([c * x for x, c in zip(fields, mult_coefs)], axis=-1)
     C = f.shape[-1]
 
-    m = mask.reshape(B, h, w, 9, 8, 8)
-    m = jax.nn.softmax(m, axis=3)
+    # softmax over the 9 taps with the 64 (dy, dx) subpixels flat on the
+    # minor axis — same math as reshape(B,h,w,9,8,8)
+    m = jax.nn.softmax(mask.reshape(B, h, w, 9, 64), axis=3)
 
     fp = jnp.pad(f, ((0, 0), (1, 1), (1, 1), (0, 0)))
     # 9 shifted views, k = ky*3 + kx (row-major over the 3x3 window)
@@ -41,8 +42,13 @@ def convex_upsample_multi(fields, mask, mult_coefs):
         for ky in range(3) for kx in range(3)
     ], axis=3)  # (B, h, w, 9, C)
 
-    # out[b, 8y+dy, 8x+dx, c] = sum_k m[b,y,x,k,dy,dx] * taps[b,y,x,k,c]
-    up = jnp.einsum("bhwkde,bhwkc->bhdwec", m, taps)  # (B,h,8,w,8,C)
+    # out[b, 8y+dy, 8x+dx, c] = sum_k m[b,y,x,k,(dy,dx)] * taps[b,y,x,k,c].
+    # contract k with (b,h,w) as contiguous batch dims, THEN do the pixel
+    # shuffle as one explicit transpose — the interleaved-output einsum
+    # ("...->bhdwec") made XLA materialize scattered 64x copies (~2.5x
+    # slower end to end on TPU)
+    up = jnp.einsum("bhwkd,bhwkc->bhwdc", m, taps)       # (B, h, w, 64, C)
+    up = up.reshape(B, h, w, 8, 8, C).transpose(0, 1, 3, 2, 4, 5)
     up = up.reshape(B, 8 * h, 8 * w, C)
     outs = []
     off = 0
