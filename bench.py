@@ -41,7 +41,7 @@ def main():
     tracker = MFT(cfg)
     H = W = 512
     rng = np.random.default_rng(0)
-    n_warm, chunk, n_chunks = 4, 4, 5
+    n_warm, chunk, n_chunks = 4, 16, 3
     n_frames = 1 + n_warm + chunk * n_chunks
     frames = [rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
               for _ in range(n_frames)]
@@ -52,13 +52,23 @@ def main():
     np.asarray(meta.result.occlusion[:1, :1])
 
     # pipelined throughput, measured in chunks (median chunk is robust to
-    # one-off stalls like lazy compilation-cache writes)
+    # one-off stalls like lazy compilation-cache writes). The host upload of
+    # frame t+1 is issued right after dispatching frame t (double-buffered
+    # feed); the end-of-chunk fetch synchronizes the device queue, so the
+    # chunk must be long enough that the remote-tunnel completion-poll
+    # latency (~tens of ms, independent of work) amortizes away.
+    import jax.numpy as jnp
+    to_dev = lambda f: jnp.asarray(np.ascontiguousarray(f[:, :, ::-1]))
     rates = []
     pos = 1 + n_warm
     for _ in range(n_chunks):
+        nxt = to_dev(frames[pos])
         t0 = time.perf_counter()
-        for f in frames[pos:pos + chunk]:
-            meta = tracker.track(f)
+        for k in range(chunk):
+            cur = nxt
+            if pos + k + 1 < n_frames:
+                nxt = to_dev(frames[pos + k + 1])  # overlaps device compute
+            meta = tracker.track(cur)
         np.asarray(meta.result.occlusion[:1, :1])
         rates.append(chunk / (time.perf_counter() - t0))
         pos += chunk
