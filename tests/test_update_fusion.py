@@ -1,0 +1,127 @@
+"""Tests for the fused-conv apply paths in the update/OU blocks.
+
+The z/r GRU convs and the OU heads' first convs run as single fused convs
+at apply time (output-axis kernel concat, update.py _fused_conv_pair). These
+tests pin down that the fusion is bit-compatible with applying the convs
+separately from the same parameters, and that need_mask=False skips the
+mask head.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import pytest
+
+from mft_tpu.models.raft.update import (
+    BasicUpdateBlock,
+    OcclusionAndUncertaintyBlock,
+    SepConvGRU,
+    _pad,
+)
+
+
+@pytest.fixture
+def sep_gru_setup(rng):
+    gru = SepConvGRU(hidden_dim=32)
+    h = jnp.asarray(rng.normal(size=(2, 8, 8, 32)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 48)), jnp.float32)
+    variables = gru.init(jax.random.PRNGKey(0), h, x)
+    return gru, variables, h, x
+
+
+def _manual_sep_gru(params, h, x, hidden):
+    """Reference SepConvGRU with separate z/r convs from the same params."""
+    def conv(p, inp, pad):
+        y = jax.lax.conv_general_dilated(
+            inp, p["kernel"], (1, 1), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + p["bias"]
+
+    for suffix, pad in (("1", [(0, 0), (2, 2)]), ("2", [(2, 2), (0, 0)])):
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = nn.sigmoid(conv(params[f"convz{suffix}"], hx, pad))
+        r = nn.sigmoid(conv(params[f"convr{suffix}"], hx, pad))
+        q = jnp.tanh(conv(params[f"convq{suffix}"],
+                          jnp.concatenate([r * h, x], axis=-1), pad))
+        h = (1.0 - z) * h + z * q
+    return h
+
+
+def test_sep_gru_fused_zr_matches_separate(sep_gru_setup):
+    gru, variables, h, x = sep_gru_setup
+    got = gru.apply(variables, h, x)
+    want = _manual_sep_gru(variables["params"], h, x, 32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_update_block_need_mask_false_returns_none(rng):
+    blk = BasicUpdateBlock(hidden_dim=32)
+    net = jnp.asarray(rng.normal(size=(1, 8, 8, 32)), jnp.float32)
+    inp = jnp.asarray(rng.normal(size=(1, 8, 8, 32)), jnp.float32)
+    corr = jnp.asarray(rng.normal(size=(1, 8, 8, 324)), jnp.float32)
+    flow = jnp.zeros((1, 8, 8, 2))
+    variables = blk.init(jax.random.PRNGKey(0), net, inp, corr, flow)
+
+    _, mask_on, df_on, _ = blk.apply(variables, net, inp, corr, flow,
+                                     need_mask=True)
+    _, mask_off, df_off, _ = blk.apply(variables, net, inp, corr, flow,
+                                       need_mask=False)
+    assert mask_on is not None and mask_on.shape == (1, 8, 8, 576)
+    assert mask_off is None
+    # skipping the mask head must not change any other output
+    np.testing.assert_array_equal(np.asarray(df_on), np.asarray(df_off))
+
+
+def test_ou_block_fused_head_matches_separate(rng):
+    ou = OcclusionAndUncertaintyBlock(architecture="simple")
+    net = jnp.asarray(rng.normal(size=(1, 8, 8, 128)), jnp.float32)
+    inp = jnp.asarray(rng.normal(size=(1, 8, 8, 128)), jnp.float32)
+    corr = jnp.asarray(rng.normal(size=(1, 8, 8, 324)), jnp.float32)
+    flow = jnp.asarray(rng.normal(size=(1, 8, 8, 2)), jnp.float32)
+    dflow = jnp.asarray(rng.normal(size=(1, 8, 8, 2)), jnp.float32)
+    mf = jnp.asarray(rng.normal(size=(1, 8, 8, 128)), jnp.float32)
+    variables = ou.init(jax.random.PRNGKey(0), net, inp, corr, flow, dflow, mf)
+
+    occl, unc = ou.apply(variables, net, inp, corr, flow, dflow, mf)
+
+    # manual separate-head application from the same params
+    x = jnp.concatenate([net, inp, corr, flow, dflow, mf], axis=-1)
+
+    def head(p):
+        def conv(pp, inp_):
+            y = jax.lax.conv_general_dilated(
+                inp_, pp["kernel"], (1, 1), _pad(3),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y + pp["bias"]
+        return conv(p["conv2"], nn.relu(conv(p["conv1"], x)))
+
+    want_occl = head(variables["params"]["occl_head"])
+    want_unc = head(variables["params"]["uncertainty_head"])
+    np.testing.assert_allclose(np.asarray(occl), np.asarray(want_occl),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(unc), np.asarray(want_unc),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_corr_lookup_pallas_bf16_volume_bf16_output(rng):
+    from mft_tpu.models.raft.corr import build_corr_pyramid
+    from mft_tpu.ops.corr_lookup_pallas import corr_lookup_pallas
+
+    B, H8, W8, C = 1, 16, 16, 32
+    f1 = jnp.asarray(rng.normal(size=(B, H8, W8, C)), jnp.float32)
+    f2 = jnp.asarray(rng.normal(size=(B, H8, W8, C)), jnp.float32)
+    coords = jnp.asarray(
+        rng.uniform(1, 14, size=(B, H8 * W8, 2)), jnp.float32)
+
+    pyr32 = build_corr_pyramid(f1, f2, 3, False, dtype=jnp.float32)
+    pyr16 = build_corr_pyramid(f1, f2, 3, False, dtype=jnp.bfloat16)
+    out32 = corr_lookup_pallas(pyr32, coords, radius=3, tile_p=128)
+    out16 = corr_lookup_pallas(pyr16, coords, radius=3, tile_p=128)
+
+    assert out32.dtype == jnp.float32
+    assert out16.dtype == jnp.bfloat16
+    # bf16 volume+output stays within bf16 quantization of the f32 result
+    np.testing.assert_allclose(np.asarray(out16, np.float32),
+                               np.asarray(out32), atol=0.15, rtol=0.02)
