@@ -58,7 +58,11 @@ class FlowDataset:
 
     def _read_flow(self, index):
         if self.sparse:
-            flow, valid = fr.read_kitti_flow(self.flow_list[index])
+            path = self.flow_list[index]
+            if str(path).endswith(".npz"):  # VIPER
+                flow, valid = fr.read_viper_flow(path)
+            else:  # KITTI / HD1K 16-bit png
+                flow, valid = fr.read_kitti_flow(path)
             return flow, valid
         data = fr.read_gen(self.flow_list[index])
         flow = data[0] if isinstance(data, tuple) else data
@@ -269,6 +273,33 @@ class KITTI(FlowDataset):
             self.extra_info.append((i1.stem,))
         if split == "training":
             self.flow_list = [str(p) for p in sorted(root.glob("flow_occ/*_10.png"))]
+
+
+class VIPER(FlowDataset):
+    """VIPER (Playing-for-Benchmarks) forward flow, npz ground truth.
+
+    The reference's ``validate_viper`` (evaluate.py:304-344) calls a
+    ``datasets.VIPER`` class that was never committed to the reference repo;
+    this is a working implementation of the interface it expects: frame
+    pairs ``<seq>/<seq>_<frame>.jpg`` -> next frame, flow from
+    ``<seq>_<frame>.npz`` (read_viper_flow, flow_readers.py). Sparse GT
+    semantics (NaN/huge values masked invalid).
+    """
+
+    def __init__(self, aug_params=None, split="validation",
+                 root="datasets/VIPER"):
+        super().__init__(aug_params, sparse=True, root=root)
+        root = Path(root)
+        img_root = root / ("val" if split == "validation" else "train") / "img"
+        flow_root = root / ("val" if split == "validation" else "train") / "flow"
+        for seq_dir in sorted(img_root.glob("*")):
+            images = sorted(seq_dir.glob("*.jpg")) or sorted(seq_dir.glob("*.png"))
+            for i in range(len(images) - 1):
+                flow_path = flow_root / seq_dir.name / (images[i].stem + ".npz")
+                if flow_path.exists():
+                    self.image_list.append([str(images[i]), str(images[i + 1])])
+                    self.flow_list.append(str(flow_path))
+                    self.extra_info.append((images[i].stem,))
 
 
 class HD1K(FlowDataset):

@@ -130,4 +130,7 @@ def run_validation(name, model, variables, iters=12, max_samples=32):
     if name == "kitti":
         ds = D.KITTI(None, root=env.kitti_dir)
         return validate_dataset(ds, model, variables, iters, max_samples)
+    if name == "viper":
+        ds = D.VIPER(None, root=getattr(env, "viper_dir", "datasets/VIPER"))
+        return validate_dataset(ds, model, variables, iters, max_samples)
     raise ValueError(f"unknown validation set {name!r}")

@@ -234,3 +234,30 @@ def test_mixed_dataset_weights():
     assert len(ds) == 8
     tags = [ds[i] for i in range(len(ds))]
     assert tags.count("a") == 6 and tags.count("b") == 2
+
+
+def test_viper_dataset_reads_npz_flow(tmp_path, rng):
+    """VIPER dataset: pairs + npz flow with NaN->invalid sparse semantics."""
+    import cv2
+    from mft_tpu.train.datasets import VIPER
+
+    seq = tmp_path / "val" / "img" / "001"
+    flows = tmp_path / "val" / "flow" / "001"
+    seq.mkdir(parents=True)
+    flows.mkdir(parents=True)
+    H, W = 24, 32
+    for i in range(3):
+        img = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+        cv2.imwrite(str(seq / f"001_{i:05d}.jpg"), img)
+    for i in range(2):
+        u = rng.normal(size=(H, W)).astype(np.float32)
+        v = rng.normal(size=(H, W)).astype(np.float32)
+        u[0, 0] = np.nan  # invalid pixel
+        np.savez(flows / f"001_{i:05d}.npz", u=u, v=v)
+
+    ds = VIPER(None, split="validation", root=str(tmp_path))
+    assert len(ds) == 2
+    img1, img2, flow, valid, occl = ds[0]
+    assert img1.shape == (H, W, 3) and flow.shape == (H, W, 2)
+    assert valid[0, 0] == 0.0 and valid[1, 1] == 1.0
+    assert np.isfinite(flow).all()
