@@ -148,6 +148,44 @@ def _lookup_level_mxu(corr_l: jnp.ndarray, coords: jnp.ndarray, radius: int):
     return s.reshape(B, P, n * n)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _corr_lookup_pallas_ad(pyramid, coords, radius, tile_p):
+    """Pallas lookup with a differentiable backward.
+
+    pallas_call has no VJP; the backward differentiates the mathematically
+    identical tent-matmul formulation (:func:`_lookup_level_mxu`), so
+    training (gradients into both feature maps through the volume, as in
+    the reference's alt_cuda_corr backward, correlation_kernel.cu:122-256)
+    works with the fast kernel on the forward pass.
+    """
+    from mft_tpu.ops.corr_lookup_pallas import corr_lookup_pallas
+    return corr_lookup_pallas(list(pyramid), coords, radius, tile_p=tile_p)
+
+
+def _mxu_all_levels(pyramid, coords, radius, out_dtype):
+    outs = [
+        _lookup_level_mxu(corr_l, coords / (2.0 ** lvl), radius)
+        for lvl, corr_l in enumerate(pyramid)
+    ]
+    return jnp.concatenate(outs, axis=-1).astype(out_dtype)
+
+
+def _corr_lookup_ad_fwd(pyramid, coords, radius, tile_p):
+    out = _corr_lookup_pallas_ad(pyramid, coords, radius, tile_p)
+    return out, (pyramid, coords)
+
+
+def _corr_lookup_ad_bwd(radius, tile_p, res, g):
+    pyramid, coords = res
+    _, vjp = jax.vjp(
+        lambda pyr, c: _mxu_all_levels(pyr, c, radius, pyr[0].dtype),
+        pyramid, coords)
+    return vjp(g)
+
+
+_corr_lookup_pallas_ad.defvjp(_corr_lookup_ad_fwd, _corr_lookup_ad_bwd)
+
+
 def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4,
                 method: str = "auto") -> jnp.ndarray:
     """Sample the correlation pyramid around per-pixel correspondences.
@@ -175,7 +213,7 @@ def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4,
         # f32 blocks need smaller tiles to fit double-buffered VMEM
         cap = 128 if pyramid[0].dtype == jnp.bfloat16 else 64
         if use_pallas and _tile_p(H * W, cap) >= 8:
-            out = corr_lookup_pallas(pyramid, c, radius, tile_p=cap)
+            out = _corr_lookup_pallas_ad(tuple(pyramid), c, radius, cap)
             return out.reshape(B, H, W, -1)
         method = "mxu"
     lookup = _lookup_level_mxu if method == "mxu" else _lookup_level

@@ -187,7 +187,9 @@ class RAFT(nn.Module):
         B, H8, W8, _ = fmap1.shape
         H, W = H8 * 8, W8 * 8
 
-        if cfg.corr_method == "alt":
+        if cfg.corr_method == "alt" and not self.train_mode:
+            # (under training the alt kernel has no VJP — fall through to
+            # the materialized pyramid + differentiable mxu lookup below)
             # low-memory path (reference AlternateCorrBlock/alt_cuda_corr):
             # keep only the feature pyramid; the lookup kernel recomputes
             # the needed correlation slices in VMEM every iteration

@@ -125,3 +125,27 @@ def test_corr_lookup_pallas_bf16_volume_bf16_output(rng):
     # bf16 volume+output stays within bf16 quantization of the f32 result
     np.testing.assert_allclose(np.asarray(out16, np.float32),
                                np.asarray(out32), atol=0.15, rtol=0.02)
+
+
+def test_corr_lookup_pallas_is_differentiable(rng):
+    """The Pallas lookup's custom VJP must match the mxu path's gradients."""
+    from mft_tpu.models.raft.corr import build_corr_pyramid, corr_lookup
+
+    B, H8, W8, C = 1, 16, 16, 32
+    f1 = jnp.asarray(rng.normal(size=(B, H8, W8, C)), jnp.float32)
+    f2 = jnp.asarray(rng.normal(size=(B, H8, W8, C)), jnp.float32)
+    coords = jnp.asarray(rng.uniform(2, 13, size=(B, H8, W8, 2)), jnp.float32)
+
+    def loss(method):
+        def fn(a, b):
+            pyr = build_corr_pyramid(a, b, 3, False)
+            out = corr_lookup(pyr, coords, radius=3, method=method)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        return fn
+
+    g1_p, g2_p = jax.grad(loss("pallas"), argnums=(0, 1))(f1, f2)
+    g1_m, g2_m = jax.grad(loss("mxu"), argnums=(0, 1))(f1, f2)
+    np.testing.assert_allclose(np.asarray(g1_p), np.asarray(g1_m),
+                               atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g2_p), np.asarray(g2_m),
+                               atol=1e-3, rtol=1e-4)
