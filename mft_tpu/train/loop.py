@@ -99,8 +99,17 @@ def train(args):
                                   epsilon=args.epsilon, clip=args.clip,
                                   params=None, trainable_prefixes=None)
 
+    # --restore_ckpt: a .pth/.msgpack file restores WEIGHTS only (the
+    # reference's strict=False torch.load behavior, train.py:379-380); an
+    # orbax checkpoint DIRECTORY from a previous run restores the full
+    # train state (params + optimizer + step) after the optimizer is built
+    restore_dir = None
+    restore_weights = args.restore_ckpt
+    if args.restore_ckpt and Path(args.restore_ckpt).is_dir():
+        restore_dir, restore_weights = args.restore_ckpt, None
+
     state = build_state(model, tx, tuple(args.image_size),
-                        restore=args.restore_ckpt)
+                        restore=restore_weights)
     if trainable is not None:
         tx, schedule = make_optimizer(lr=args.lr, num_steps=args.num_steps,
                                       weight_decay=args.wdecay,
@@ -108,6 +117,11 @@ def train(args):
                                       params=state["variables"]["params"],
                                       trainable_prefixes=trainable)
         state["opt_state"] = tx.init(state["variables"]["params"])
+    if restore_dir is not None:
+        from mft_tpu.train.checkpoint import restore_checkpoint
+        state = restore_checkpoint(restore_dir, state)
+        logger.info("resumed full train state from %s (step %d)",
+                    restore_dir, int(state["step"]))
 
     loss_kwargs = dict(
         gamma=args.gamma,

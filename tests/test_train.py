@@ -261,3 +261,51 @@ def test_viper_dataset_reads_npz_flow(tmp_path, rng):
     assert img1.shape == (H, W, 3) and flow.shape == (H, W, 2)
     assert valid[0, 0] == 0.0 and valid[1, 1] == 1.0
     assert np.isfinite(flow).all()
+
+
+def test_orbax_full_state_checkpoint_roundtrip(tmp_path, rng):
+    """save_checkpoint/restore_checkpoint round-trip the FULL train state
+    (params + optimizer + step) — the resume path of --restore_ckpt with an
+    orbax directory (reference restores weights only, train.py:379-380)."""
+    from mft_tpu.models.raft.raft import RAFT, RAFTParams
+    from mft_tpu.train.loop import build_state, make_train_step
+    from mft_tpu.train.checkpoint import (latest_checkpoint, restore_checkpoint,
+                                          save_checkpoint)
+    from mft_tpu.train.optim import make_optimizer
+
+    model = RAFT(cfg=RAFTParams(small=True), train_mode=False)
+    tx, _ = make_optimizer(lr=1e-4, num_steps=4)
+    H, W = 64, 96
+    state = build_state(model, tx, example_hw=(H, W))
+    step_fn = make_train_step(
+        model, tx,
+        dict(gamma=0.85, freeze_optical_flow=False,
+             occlusion_module="separate_with_uncertainty",
+             uncertainty_loss_type="huber_non_occluded",
+             optical_flow_loss_type="L1"),
+        iters=1)
+    B = 1
+    batch = (
+        jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)), jnp.float32),
+        jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)), jnp.float32),
+        jnp.asarray(rng.standard_normal((B, H, W, 2)), jnp.float32),
+        jnp.ones((B, H, W), jnp.float32),
+        jnp.zeros((B, H, W), jnp.float32),
+    )
+    state, _ = step_fn(state, batch)
+    state, _ = step_fn(state, batch)
+    save_checkpoint(tmp_path, int(state["step"]), state)
+
+    fresh = build_state(model, tx, example_hw=(H, W), seed=999)
+    assert int(fresh["step"]) == 0
+    path = latest_checkpoint(tmp_path)
+    restored = restore_checkpoint(path, fresh)
+    assert int(restored["step"]) == 2
+    a = jax.tree.leaves(restored["variables"])
+    b = jax.tree.leaves(state["variables"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    oa = jax.tree.leaves(restored["opt_state"])
+    ob = jax.tree.leaves(state["opt_state"])
+    for x, y in zip(oa, ob):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
