@@ -184,3 +184,57 @@ def get_config():
     text = report(["fake_tracker"], tmp_path / "export")
     assert "fake_tracker (ours)" in text
     assert "CoTracker" in text
+
+
+def test_rgb_stacking_dataset(tmp_path, rng):
+    import pickle
+    from mft_tpu.eval.tapvid import create_rgb_stacking_dataset
+
+    N, H, W, P = 8, 32, 32, 5
+    examples = [{
+        "video": rng.integers(0, 255, (N, H, W, 3)).astype(np.uint8),
+        "points": rng.uniform(0.1, 0.9, (P, N, 2)).astype(np.float32),
+        "occluded": np.zeros((P, N), bool),
+    }]
+    pkl = tmp_path / "robotics.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump(examples, f)
+
+    recs = list(create_rgb_stacking_dataset(pkl, query_mode="first"))
+    assert len(recs) == 1
+    r = recs[0]["robotics"]
+    assert r["video"].min() >= -1.0 and r["video"].max() <= 1.0
+    assert r["target_points"].max() <= 256.0
+
+
+def test_jhmdb_dataset(tmp_path, rng):
+    import cv2
+    from scipy import io as scipy_io
+    from mft_tpu.eval.tapvid import create_jhmdb_dataset
+
+    root = tmp_path
+    (root / "splits").mkdir()
+    video = "clap/vid001"
+    (root / "splits" / "clap_test_split1.txt").write_text(
+        "vid001.avi 2\nvid002.avi 1\n")
+    (root / "joint_positions" / video).mkdir(parents=True)
+    n_frames, n_joints, H, W = 6, 15, 40, 48
+    pos = rng.uniform(5, 35, (2, n_joints, n_frames)).astype(np.float64)
+    scipy_io.savemat(root / "joint_positions" / video / "joint_positions.mat",
+                     {"pos_img": pos})
+    (root / "Rename_Images" / video).mkdir(parents=True)
+    for i in range(n_frames):
+        cv2.imwrite(str(root / "Rename_Images" / video / f"{i:05d}.png"),
+                    rng.integers(0, 255, (H, W, 3)).astype(np.uint8))
+
+    recs = list(create_jhmdb_dataset(root))
+    assert len(recs) == 1
+    r = recs[0]["jhmdb"]
+    assert r["video"].shape == (1, n_frames, 256, 256, 3)
+    # reference layout: (n_joints, n_frames, 2) — TAP-Vid (P, N, 2) convention
+    assert r["target_points"].shape == (1, n_joints, n_frames, 2)
+    assert r["query_points"].shape == (1, n_joints, 3)
+    # scaling: x scaled by 256/W
+    np.testing.assert_allclose(r["gt_pose"][0, 0, 0, 0],
+                               pos[0, 0, 0] * 256.0 / W, rtol=1e-6)
+    assert (r["im_size"] == [H, W]).all()
