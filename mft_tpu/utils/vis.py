@@ -446,3 +446,147 @@ class FlowGUI:
             if cv2.waitKey(16) in (27, ord("q")):
                 break
         cv2.destroyWindow(window)
+
+
+# -- alignment / geometry overlays (reference vis_utils.py:245-343) ----------- #
+def vis_alignment_plain(src, dst, equalize_hist=False):
+    """Red/blue=dst-gray, green=src-gray false-color alignment check.
+
+    Reference parity: vis_utils.py:245-266 (per-image min/max normalization
+    unless histogram equalization is requested).
+    """
+    assert src.shape == dst.shape
+    sg = cv2.cvtColor(src, cv2.COLOR_BGR2GRAY)
+    dg = cv2.cvtColor(dst, cv2.COLOR_BGR2GRAY)
+    if equalize_hist:
+        sg = cv2.equalizeHist(sg).astype(np.float32) / 255
+        dg = cv2.equalizeHist(dg).astype(np.float32) / 255
+    else:
+        sg = sg.astype(np.float32) / 255
+        dg = dg.astype(np.float32) / 255
+        sg = (sg - sg.min()) / max(np.ptp(sg), 1e-12)
+        dg = (dg - dg.min()) / max(np.ptp(dg), 1e-12)
+    out = np.stack([dg, sg, dg], axis=-1)
+    return np.uint8(out * 255)
+
+
+def draw_corners(canvas, corners, color, thickness=2, with_cross=True,
+                 with_tl=False):
+    """Draw the quadrilateral given by (2, 4) corner array, optional
+    diagonal cross and top-left marker (reference vis_utils.py:471-491)."""
+    if corners is None:
+        return canvas
+    assert corners.shape == (2, 4), f"bad corners shape {corners.shape}"
+    pts = corners.T.reshape(4, 1, 2)
+    vis = polylines(canvas.copy(), [pts], True, color, thickness)
+    if with_cross:
+        vis = line(vis, tuple(pts[0, 0]), tuple(pts[2, 0]), color, thickness)
+        vis = line(vis, tuple(pts[1, 0]), tuple(pts[3, 0]), color, thickness)
+    if with_tl:
+        vis = cv2.circle(vis, tuple(pts[0, 0].astype(np.int32).tolist()),
+                         radius=2 * thickness, color=color, thickness=-1)
+    return vis
+
+
+def vis_vector_in_center(img, vector, color=(0, 255, 0), thickness=2):
+    """Draw a vector anchored at the image center (vis_utils.py:493-500)."""
+    canvas = img.copy()
+    center = (canvas.shape[1] // 2, canvas.shape[0] // 2)
+    line(canvas, center, (center[0] + vector[0], center[1] + vector[1]),
+         color, thickness)
+    return canvas
+
+
+def draw_box_with_margins(canvas, tl_xy, br_xy, radius, color=(0, 0, 255)):
+    """Mark a box's four corners with margin circles (vis_utils.py:310-321)."""
+    vis = canvas.copy()
+    (tx, ty), (bx, by) = tl_xy, br_xy
+    for pt in ((tx, ty), (bx, ty), (bx, by), (tx, by)):
+        cv2.circle(vis, (int(pt[0]), int(pt[1])), int(radius), color)
+    return vis
+
+
+def place_img_at(img, canvas, tl_row, tl_col):
+    """Paste img into canvas at (row, col), in place (vis_utils.py:541-543)."""
+    H, W = img.shape[:2]
+    canvas[tl_row:tl_row + H, tl_col:tl_col + W, :] = img
+
+
+def shorten_text(text, max_len, keep="right"):
+    """Ellipsis-shorten a string keeping its right or left end
+    (vis_utils.py:347-357)."""
+    if len(text) <= max_len:
+        return text
+    margin = 3 if max_len > 8 else 0
+    if keep == "right":
+        return "." * margin + text[-(max_len - margin):]
+    if keep == "left":
+        return text[: max_len - margin] + "." * margin
+    raise ValueError("Invalid 'keep' value")
+
+
+def vis_prosac_scores(sorted_coords, image):
+    """Color the top-20% ranked points by rank (viridis), rest dark gray.
+
+    Reference parity: vis_utils.py:324-344 (matplotlib colormap replaced by
+    cv2.COLORMAP_VIRIDIS — same colormap family, BGR output).
+    """
+    canvas = to_gray_3ch(image).copy()
+    xy, N = sorted_coords.shape
+    assert xy == 2
+    top_n = int(N * 0.2)
+    ramp = cv2.applyColorMap(
+        np.linspace(0, 255, max(top_n, 1)).astype(np.uint8).reshape(-1, 1),
+        cv2.COLORMAP_VIRIDIS).reshape(-1, 3)
+    for i in range(N):
+        if i < top_n:
+            color = ramp[top_n - i - 1].tolist()
+        else:
+            color = [30, 30, 30]
+        x, y = int(round(sorted_coords[0, i])), int(round(sorted_coords[1, i]))
+        cv2.circle(canvas, (x, y), 2, color, -1)
+    return canvas
+
+
+class OverlayBackground:
+    """Blend images-after-drawing back over their saved originals.
+
+    Reference parity: vis_utils.py:1167-1185 — snapshot backgrounds at
+    construction, then ``overlay(imgs, alpha)`` mixes each drawn-on image
+    with its original.
+    """
+
+    def __init__(self, *background_images):
+        self.backgrounds_copy = [img.copy() for img in background_images]
+
+    def overlay(self, *overlay_images, alpha=0.5):
+        return [cv2.addWeighted(ov, alpha, bg, 1 - alpha, 0)
+                for ov, bg in zip(overlay_images, self.backgrounds_copy)]
+
+
+def make_knn_interp(db_xy, db_values):
+    """K-NN interpolator factory (reference vis_utils.py:661-703).
+
+    returns interp(query_xy, K, max_dist=None) -> values with the
+    reference's negative-distance weighting and NaN for empty neighborhoods.
+    """
+    from scipy.spatial import KDTree
+
+    tree = KDTree(db_xy)
+    N = db_xy.shape[0]
+
+    def interp(query_xy, K, max_dist=None):
+        bound = np.inf if max_dist is None else max_dist
+        dists, ids = tree.query(query_xy, k=K, distance_upper_bound=bound)
+        dists = np.atleast_2d(np.asarray(dists, np.float64))
+        ids = np.atleast_2d(ids)
+        valid = ids < N
+        dists[~valid] = np.nan
+        with np.errstate(invalid="ignore"):
+            weights = (-dists) / np.nansum(-dists, axis=-1, keepdims=True)
+        vals = np.full(dists.shape, np.nan)
+        vals[valid] = np.asarray(db_values)[ids[valid]]
+        vals[valid] *= weights[valid]
+        return np.nansum(vals, axis=-1)
+
+    return interp

@@ -123,3 +123,39 @@ def test_flow_to_color_matlab():
     flow = np.random.default_rng(0).normal(size=(16, 16, 2)).astype(np.float32) * 5
     out = vis.flow_to_color_matlab(flow, max_flow=3.0)
     assert out.shape == (16, 16, 3) and out.dtype == np.uint8
+
+
+def test_extended_vis_helpers(rng):
+    from mft_tpu.utils import vis
+
+    img = rng.integers(0, 255, (40, 60, 3)).astype(np.uint8)
+    a = vis.vis_alignment_plain(img, np.roll(img, 3, axis=1))
+    assert a.shape == img.shape and a.dtype == np.uint8
+
+    corners = np.array([[5.0, 50, 50, 5], [5, 5, 30, 30]])
+    assert vis.draw_corners(img, corners, (0, 255, 0)).shape == img.shape
+    assert vis.vis_vector_in_center(img, (8, -4)).shape == img.shape
+    assert vis.draw_box_with_margins(img, (5, 5), (50, 30), 3).shape == img.shape
+
+    canvas = np.zeros((40, 60, 3), np.uint8)
+    vis.place_img_at(np.full((10, 10, 3), 7, np.uint8), canvas, 2, 3)
+    assert (canvas[2:12, 3:13] == 7).all() and canvas[0, 0, 0] == 0
+
+    assert vis.shorten_text("short", 10) == "short"
+    assert len(vis.shorten_text("averylongtexthere", 10)) == 10
+    assert vis.shorten_text("averylongtexthere", 10).startswith("...")
+    assert vis.shorten_text("averylongtexthere", 10, keep="left").endswith("...")
+
+    pts = np.stack([rng.uniform(0, 59, 20), rng.uniform(0, 39, 20)])
+    assert vis.vis_prosac_scores(pts, img).shape == img.shape
+
+    ob = vis.OverlayBackground(img)
+    drawn = img.copy()
+    drawn[:] = 255
+    out, = ob.overlay(drawn, alpha=0.5)
+    assert out.shape == img.shape and out.mean() > img.mean()
+
+    interp = vis.make_knn_interp(np.array([[0.0, 0], [2, 0], [0, 2]]),
+                                 np.array([1.0, 5.0, 9.0]))
+    v = interp(np.array([[0.1, 0.1]]), K=2)
+    assert np.isfinite(v).all()
