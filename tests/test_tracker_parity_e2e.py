@@ -84,7 +84,9 @@ def cpu_cuda_patch(monkeypatch):
     yield
 
 
-def test_tracker_e2e_matches_reference(tmp_path, rng, cpu_cuda_patch):
+@pytest.mark.parametrize("direction", [+1, -1], ids=["forward", "backward"])
+def test_tracker_e2e_matches_reference(tmp_path, rng, cpu_cuda_patch,
+                                       direction):
     iters = 4
     deltas = [np.inf, 1, 2]
 
@@ -123,10 +125,17 @@ def test_tracker_e2e_matches_reference(tmp_path, rng, cpu_cuda_patch):
     our_tracker = MFT(cfg)
 
     frames = _make_clip(rng)
-    ref_tracker.init(frames[0])
-    our_tracker.init(frames[0])
+    if direction < 0:
+        start = len(frames) - 1
+        ref_tracker.init(frames[-1], start_frame_i=start, time_direction=-1)
+        our_tracker.init(frames[-1], start_frame_i=start, time_direction=-1)
+        frames = frames[-2::-1]
+    else:
+        ref_tracker.init(frames[0])
+        our_tracker.init(frames[0])
+        frames = frames[1:]
 
-    for t, frame in enumerate(frames[1:], start=1):
+    for t, frame in enumerate(frames, start=1):
         with torch.no_grad():
             ref_meta = ref_tracker.track(frame)
         our_meta = our_tracker.track(frame)
