@@ -84,9 +84,11 @@ def cpu_cuda_patch(monkeypatch):
     yield
 
 
-@pytest.mark.parametrize("direction", [+1, -1], ids=["forward", "backward"])
+@pytest.mark.parametrize("direction,use_cache", [(+1, False), (-1, False),
+                                                 (+1, True)],
+                         ids=["forward", "backward", "forward-cached"])
 def test_tracker_e2e_matches_reference(tmp_path, rng, cpu_cuda_patch,
-                                       direction):
+                                       direction, use_cache):
     iters = 4
     deltas = [np.inf, 1, 2]
 
@@ -124,15 +126,24 @@ def test_tracker_e2e_matches_reference(tmp_path, rng, cpu_cuda_patch,
     cfg.occlusion_threshold = 0.02
     our_tracker = MFT(cfg)
 
+    # our-side FlowCache routes the tracker through the non-fused path
+    # (per-pair cache reads/writes + separate chain/select step); outputs
+    # must be identical to the reference either way
+    cache = None
+    if use_cache:
+        from mft_tpu.io.cache import FlowCache
+        cache = FlowCache(tmp_path / "flow_cache")
+
     frames = _make_clip(rng)
     if direction < 0:
         start = len(frames) - 1
         ref_tracker.init(frames[-1], start_frame_i=start, time_direction=-1)
-        our_tracker.init(frames[-1], start_frame_i=start, time_direction=-1)
+        our_tracker.init(frames[-1], start_frame_i=start, time_direction=-1,
+                         flow_cache=cache)
         frames = frames[-2::-1]
     else:
         ref_tracker.init(frames[0])
-        our_tracker.init(frames[0])
+        our_tracker.init(frames[0], flow_cache=cache)
         frames = frames[1:]
 
     for t, frame in enumerate(frames, start=1):
