@@ -66,7 +66,7 @@ def main():
         t0 = time.perf_counter()
         for k in range(chunk):
             cur = nxt
-            if pos + k + 1 < n_frames:
+            if k + 1 < chunk:
                 nxt = to_dev(frames[pos + k + 1])  # overlaps device compute
             meta = tracker.track(cur)
         np.asarray(meta.result.occlusion[:1, :1])

@@ -25,6 +25,7 @@ class EnvSettings:
         self.flyingchairs_dir = "datasets/flyingchairs/"
         self.kitti_dir = "datasets/kitti2015/"
         self.hd1k_dir = "datasets/hd1k/"
+        self.viper_dir = "datasets/VIPER/"
         self.checkpoint_dir = "checkpoints/"
 
 

@@ -186,7 +186,10 @@ def create_rgb_stacking_dataset(pickle_path, query_mode="strided",
         examples = pickle.load(f)
     H, W = train_size
     for example in examples:
-        frames = example["video"].astype(np.float32) / 255.0 * 2.0 - 1.0
+        frames = example["video"]
+        if frames.shape[1:3] != (H, W):  # native RGB-stacking is 256x256
+            frames = resize_video(frames, (H, W))
+        frames = frames.astype(np.float32) / 255.0 * 2.0 - 1.0
         points = example["points"] * np.array([W, H])
         occluded = example["occluded"]
         if query_mode == "strided":

@@ -198,7 +198,9 @@ def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4,
         or 'auto' (pallas on TPU, mxu elsewhere; falls back to mxu when the
         pixel count has no power-of-two tiling).
     returns:
-      (B, H, W, num_levels*(2r+1)^2) float32, levels concatenated last.
+      (B, H, W, num_levels*(2r+1)^2), levels concatenated last. The pallas
+      path returns the PYRAMID's dtype (bf16 volumes yield bf16 samples, f32
+      accumulation inside); the mxu/gather paths return float32.
     """
     B, H, W, _ = coords.shape
     c = coords.reshape(B, H * W, 2)

@@ -187,9 +187,12 @@ class RAFT(nn.Module):
         B, H8, W8, _ = fmap1.shape
         H, W = H8 * 8, W8 * 8
 
-        if cfg.corr_method == "alt" and not self.train_mode:
-            # (under training the alt kernel has no VJP — fall through to
-            # the materialized pyramid + differentiable mxu lookup below)
+        lookup_method = cfg.corr_method
+        if cfg.corr_method == "alt" and self.train_mode:
+            # the alt on-the-fly kernel has no VJP — train with the
+            # materialized pyramid and the differentiable standard lookup
+            lookup_method = "auto"
+        if lookup_method == "alt":
             # low-memory path (reference AlternateCorrBlock/alt_cuda_corr):
             # keep only the feature pyramid; the lookup kernel recomputes
             # the needed correlation slices in VMEM every iteration
@@ -221,7 +224,7 @@ class RAFT(nn.Module):
         for itr in range(iters):
             coords1 = jax.lax.stop_gradient(coords1)
             corr = corr_lookup(pyramid, coords1, cfg.effective_corr_radius,
-                               method=cfg.corr_method)
+                               method=lookup_method)
 
             is_last = itr == iters - 1
             need_up = (not test_mode) or is_last

@@ -129,160 +129,14 @@ def corr_lookup_pallas(pyramid, coords, radius: int = 4, tile_p: int = 256):
     )(coords.astype(jnp.float32), *pyramid)
 
 
-# --------------------------------------------------------------------------- #
-# layout A': pixel-major with manual chunked level-0 DMA (row-band skipping)
-# --------------------------------------------------------------------------- #
-def _kernel_win_dma(coords_ref, corr0_ref, *rest, radius: int, tile_p: int,
-                    chunk: int, h0: int, w0: int):
-    """Like _kernel_pixel_major, but level 0 (3/4 of all volume bytes) stays
-    in HBM and only the row chunks actually covered by this tile's sample
-    windows are DMA'd in (a pixel's window spans rows (sy-r-1, sy+r+1); for
-    smooth flow a tile touches 1-2 of the h0/chunk row chunks). All touched
-    chunks' DMAs are started together, then waited/accumulated in order.
-    Exact same outputs as the dense kernel for arbitrary flow (untouched
-    chunks contribute exactly zero tent weight)."""
-    n = 2 * radius + 1
-    corr_refs, out_ref = rest[:-4], rest[-4]
-    scratch, t_ref, sem = rest[-3], rest[-2], rest[-1]
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-    c = coords_ref[0]                     # (TILE_P, 2) f32, level-0 scale
-    cx = c[:, 0][:, None, None]
-    cy = c[:, 1][:, None, None]
-
-    # ---- level 0: chunked manual DMA ----
-    sy = c[:, 1]
-    y_lo = jnp.min(sy) - (radius + 1.0)
-    y_hi = jnp.max(sy) + (radius + 1.0)
-    n_chunks = h0 // chunk
-    dt0 = scratch.dtype
-
-    def get_dma(ci):
-        return pltpu.make_async_copy(
-            corr0_ref.at[b, pl.ds(t * tile_p, tile_p),
-                         pl.ds(ci * chunk, chunk), :],
-            scratch.at[ci],
-            sem.at[ci])
-
-    for ci in range(n_chunks):
-        touched = jnp.logical_and(y_hi > ci * chunk - 1.0,
-                                  y_lo < (ci + 1) * chunk)
-
-        @pl.when(touched)
-        def _(ci=ci):
-            get_dma(ci).start()
-
-    t_ref[:] = jnp.zeros((tile_p, n, w0), jnp.float32)
-    ky = jax.lax.broadcasted_iota(
-        jnp.int32, (tile_p, n, chunk), 1).astype(jnp.float32) - radius
-    yy0 = jax.lax.broadcasted_iota(
-        jnp.int32, (tile_p, n, chunk), 2).astype(jnp.float32)
-    for ci in range(n_chunks):
-        touched = jnp.logical_and(y_hi > ci * chunk - 1.0,
-                                  y_lo < (ci + 1) * chunk)
-
-        @pl.when(touched)
-        def _(ci=ci):
-            get_dma(ci).wait()
-            rows = scratch[ci]                       # (TILE_P, chunk, w0)
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(
-                cy + ky - (yy0 + ci * chunk))).astype(dt0)
-            t_ref[:] += jax.lax.dot_general(
-                wy, rows,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
-
-    kx = jax.lax.broadcasted_iota(
-        jnp.int32, (tile_p, n, w0), 1).astype(jnp.float32) - radius
-    xx = jax.lax.broadcasted_iota(
-        jnp.int32, (tile_p, n, w0), 2).astype(jnp.float32)
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(cx + kx - xx)).astype(jnp.float32)
-    s = jax.lax.dot_general(
-        wx, t_ref[:],
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    for i in range(n):
-        out_ref[0, :, i * n: (i + 1) * n] = s[:, i, :]
-
-    # ---- levels 1..L-1: dense blocks (small) ----
-    for lvl1, ref in enumerate(corr_refs):
-        lvl = lvl1 + 1
-        corr = ref[0]                     # (TILE_P, h, w)
-        _, h, w = corr.shape
-        dt = corr.dtype
-        inv = 1.0 / (2.0 ** lvl)
-
-        ky2 = jax.lax.broadcasted_iota(
-            jnp.int32, (tile_p, n, h), 1).astype(jnp.float32) - radius
-        yy2 = jax.lax.broadcasted_iota(
-            jnp.int32, (tile_p, n, h), 2).astype(jnp.float32)
-        wy2 = jnp.maximum(0.0, 1.0 - jnp.abs(cy * inv + ky2 - yy2)).astype(dt)
-
-        kx2 = jax.lax.broadcasted_iota(
-            jnp.int32, (tile_p, n, w), 1).astype(jnp.float32) - radius
-        xx2 = jax.lax.broadcasted_iota(
-            jnp.int32, (tile_p, n, w), 2).astype(jnp.float32)
-        wx2 = jnp.maximum(0.0, 1.0 - jnp.abs(cx * inv + kx2 - xx2)).astype(dt)
-
-        tt = jax.lax.dot_general(
-            wy2, corr,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(dt)
-        ss = jax.lax.dot_general(
-            wx2, tt,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        base = lvl * n * n
-        for i in range(n):
-            out_ref[0, :, base + i * n: base + (i + 1) * n] = ss[:, i, :]
-
-
-def corr_lookup_win_dma(pyramid, coords, radius: int = 4, tile_p: int = 256,
-                        chunk: int = 16):
-    """Fused pyramid lookup with row-band-skipping DMA for level 0.
-
-    Same outputs as :func:`corr_lookup_pallas`; level 0 is read from HBM in
-    ``chunk``-row bands and bands no pixel of the tile samples are skipped
-    entirely (DMA and MXU work), cutting the dominant level-0 traffic ~2x
-    for smooth flow. Falls back gracefully (all bands touched) for wild
-    flow. Requires h0 % chunk == 0.
-    """
-    B, P, h0, w0 = pyramid[0].shape
-    n = 2 * radius + 1
-    L = len(pyramid)
-    tp = _tile_p(P, tile_p)
-    if tp < 8 or h0 % chunk:
-        return corr_lookup_pallas(pyramid, coords, radius, tile_p=128)
-    n_chunks = h0 // chunk
-
-    grid = (B, P // tp)
-    in_specs = [pl.BlockSpec((1, tp, 2), lambda b, p: (b, p, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY)]
-    for lvl in range(1, L):
-        h, w = pyramid[lvl].shape[2:]
-        in_specs.append(pl.BlockSpec(
-            (1, tp, h, w), lambda b, p: (b, p, 0, 0),
-            memory_space=pltpu.VMEM))
-    out_spec = pl.BlockSpec((1, tp, L * n * n), lambda b, p: (b, p, 0),
-                            memory_space=pltpu.VMEM)
-
-    kernel = functools.partial(_kernel_win_dma, radius=radius, tile_p=tp,
-                               chunk=chunk, h0=h0, w0=w0)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((B, P, L * n * n), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((n_chunks, tp, chunk, w0), pyramid[0].dtype),
-            pltpu.VMEM((tp, n, w0), jnp.float32),
-            pltpu.SemaphoreType.DMA((n_chunks,)),
-        ],
-        interpret=_interpret(),
-    )(coords.astype(jnp.float32), *pyramid)
-
+# NOTE on manual-DMA row windowing: a chunked HBM->VMEM DMA variant of the
+# pixel-major kernel (skip volume row bands no pixel of the tile samples —
+# the role of the reference CUDA kernel's shared-memory staging) was built
+# and removed: Mosaic requires DMA slice shapes 128-lane aligned, and the
+# level-0 maps are 64 wide, so the kernel cannot compile on this toolchain
+# ("Slice shape along dimension 3 must be aligned to tiling (128)").
+# Padding the volume to 128 lanes would double the DMA bytes and erase the
+# win. Revisit if the volume layout ever packs two rows per 128 lanes.
 
 # --------------------------------------------------------------------------- #
 # layout B: (B, h, w, P) pixels-on-lanes blocks, full-width VPU FMAs

@@ -300,6 +300,9 @@ class VIPER(FlowDataset):
                     self.image_list.append([str(images[i]), str(images[i + 1])])
                     self.flow_list.append(str(flow_path))
                     self.extra_info.append((images[i].stem,))
+        if not self.image_list:
+            raise FileNotFoundError(
+                f"no VIPER frame pairs with flow found under {root}")
 
 
 class HD1K(FlowDataset):

@@ -106,7 +106,15 @@ def train(args):
     restore_dir = None
     restore_weights = args.restore_ckpt
     if args.restore_ckpt and Path(args.restore_ckpt).is_dir():
-        restore_dir, restore_weights = args.restore_ckpt, None
+        restore_dir, restore_weights = Path(args.restore_ckpt), None
+        if not restore_dir.name.startswith("step_"):
+            # a run's checkpoint ROOT was given — resume its newest step
+            from mft_tpu.train.checkpoint import latest_checkpoint
+            latest = latest_checkpoint(restore_dir)
+            if latest is None:
+                raise FileNotFoundError(
+                    f"no step_* checkpoints under {restore_dir}")
+            restore_dir = latest
 
     state = build_state(model, tx, tuple(args.image_size),
                         restore=restore_weights)

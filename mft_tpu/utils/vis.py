@@ -575,7 +575,7 @@ def make_knn_interp(db_xy, db_values):
     tree = KDTree(db_xy)
     N = db_xy.shape[0]
 
-    def interp(query_xy, K, max_dist=None):
+    def interp(query_xy, K, max_dist=None, min_K=None):
         bound = np.inf if max_dist is None else max_dist
         dists, ids = tree.query(query_xy, k=K, distance_upper_bound=bound)
         dists = np.atleast_2d(np.asarray(dists, np.float64))
@@ -587,6 +587,11 @@ def make_knn_interp(db_xy, db_values):
         vals = np.full(dists.shape, np.nan)
         vals[valid] = np.asarray(db_values)[ids[valid]]
         vals[valid] *= weights[valid]
-        return np.nansum(vals, axis=-1)
+        out = np.nansum(vals, axis=-1)
+        # nansum turns all-NaN rows into 0.0 — keep them NaN (reference
+        # semantics: queries with no (or too few) neighbors are invalid)
+        needed = 1 if min_K is None else min_K
+        out[valid.sum(axis=-1) < needed] = np.nan
+        return out
 
     return interp
