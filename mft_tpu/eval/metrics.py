@@ -90,3 +90,62 @@ def compute_tapvid_metrics(query_points, gt_occluded, gt_tracks,
     out["average_pts_within_thresh"] = np.mean(np.stack(frac_list, axis=1), axis=1)
     out["average_prec"] = np.mean(np.stack(prec_list, axis=1), axis=1)
     return out
+
+
+PCK_THRESHOLDS = (0.1, 0.2, 0.3, 0.4, 0.5)
+
+
+def compute_pck(gt_pose, pred_pose, valid=None, thresholds=PCK_THRESHOLDS):
+    """JHMDB PCK: fraction of keypoints within alpha * person size.
+
+    Consumes the pose fields packaged by the JHMDB reader (reference
+    tapvid_eval_stuff.py:389-485: 'gt_pose_orig'); the reference repo ships
+    the data plumbing but not the metric (it lives upstream in TAP-Net's
+    evaluate_jhmdb), so this is the standard definition: a keypoint at frame
+    t is correct at threshold alpha if ||pred - gt||_2 <= alpha * s_t, where
+    s_t is the diagonal of the ground-truth pose's bounding box at frame t.
+
+    args:
+      gt_pose, pred_pose: (T, J, 2) [x, y] joint positions, original raster.
+      valid: optional (T, J) or (T,) bool mask of evaluated keypoints.
+    returns: dict {'PCK@0.1': float, ...} fractions in [0, 1].
+    """
+    gt_pose = np.asarray(gt_pose, np.float64)
+    pred_pose = np.asarray(pred_pose, np.float64)
+    T, J, _ = gt_pose.shape
+    if valid is None:
+        valid = np.ones((T, J), bool)
+    valid = np.asarray(valid, bool)
+    if valid.ndim == 1:
+        valid = np.tile(valid[:, None], (1, J))
+
+    dist = np.sqrt(np.sum(np.square(pred_pose - gt_pose), axis=-1))  # (T, J)
+    bbox = gt_pose.max(axis=1) - gt_pose.min(axis=1)                 # (T, 2)
+    scale = np.sqrt(np.sum(np.square(bbox), axis=-1))                # (T,)
+    n = max(int(valid.sum()), 1)
+    return {f"PCK@{a:g}": float(np.sum((dist <= a * scale[:, None]) & valid) / n)
+            for a in thresholds}
+
+
+def latex_table(mean_scalars):
+    """LaTeX header+body rows for TAP-Vid (or PCK) mean metrics.
+
+    Output-format parity with reference tapvid_eval_stuff.py:240-272: the
+    same field order, the same delta-superscript headers, values x100 at 3
+    significant digits.
+    """
+    if "average_jaccard" in mean_scalars:
+        fields = (["average_jaccard", "average_pts_within_thresh",
+                   "occlusion_accuracy"]
+                  + [f"jaccard_{t}" for t in THRESHOLDS]
+                  + [f"pts_within_{t}" for t in THRESHOLDS])
+        header = (
+            "AJ & $<\\delta^{x}_{avg}$ & OA & "
+            + " & ".join(f"Jac. $\\delta^{{{i}}}$" for i in range(5)) + " & "
+            + " & ".join(f"$<\\delta^{{{i}}}$" for i in range(5)))
+    else:
+        fields = [f"PCK@{a:g}" for a in PCK_THRESHOLDS]
+        header = " & ".join(fields)
+    body = " & ".join(
+        f"{float(np.mean(mean_scalars[f]) * 100):.3}" for f in fields)
+    return "\n".join([header, body])

@@ -49,7 +49,8 @@ def tracker_row(export_dir, name, query_mode):
             for long, short in COLUMNS.items() if long in means}
 
 
-def report(tracker_names, export_dir, query_modes=("first", "strided")):
+def report(tracker_names, export_dir, query_modes=("first", "strided"),
+           latex=False):
     from tabulate import tabulate
 
     out = []
@@ -64,6 +65,17 @@ def report(tracker_names, export_dir, query_modes=("first", "strided")):
         table = tabulate(df, headers="keys", tablefmt="orgtbl",
                          floatfmt=".1f")
         out.append(f"* TAP-Vid-DAVIS {query_mode} (x100, 256x256 protocol)\n{table}")
+        if latex:
+            # LaTeX rows for our trackers (reference tapvid_eval_stuff.py:240)
+            from mft_tpu.eval.metrics import latex_table
+            suffix = "-strided" if query_mode == "strided" else ""
+            for name in tracker_names:
+                path = Path(export_dir) / name / "eval" / f"tapvid-eval{suffix}.pklz"
+                if path.exists():
+                    means = pd.read_pickle(path).drop(
+                        columns=["seq"], errors="ignore").mean()
+                    out.append(f"* LaTeX {name} {query_mode}\n"
+                               + latex_table(means.to_dict()))
     text = "\n\n".join(out)
     print(text)
     return text
@@ -75,11 +87,13 @@ def main():
     parser.add_argument("--export", default="export")
     parser.add_argument("--mode", choices=["first", "strided", "both"],
                         default="both")
+    parser.add_argument("--latex", action="store_true",
+                        help="also emit LaTeX table rows")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
     names = [load_config(p).name for p in args.trackers]
     modes = ["first", "strided"] if args.mode == "both" else [args.mode]
-    report(names, args.export, modes)
+    report(names, args.export, modes, latex=args.latex)
 
 
 if __name__ == "__main__":

@@ -187,7 +187,7 @@ _corr_lookup_pallas_ad.defvjp(_corr_lookup_ad_fwd, _corr_lookup_ad_bwd)
 
 
 def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4,
-                method: str = "auto") -> jnp.ndarray:
+                method: str = "auto", out_dtype=None) -> jnp.ndarray:
     """Sample the correlation pyramid around per-pixel correspondences.
 
     args:
@@ -198,17 +198,22 @@ def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4,
         or 'auto' (pallas on TPU, mxu elsewhere; falls back to mxu when the
         pixel count has no power-of-two tiling).
     returns:
-      (B, H, W, num_levels*(2r+1)^2), levels concatenated last. The pallas
-      path returns the PYRAMID's dtype (bf16 volumes yield bf16 samples, f32
-      accumulation inside); the mxu/gather paths return float32.
+      (B, H, W, num_levels*(2r+1)^2), levels concatenated last, in
+      ``out_dtype``. The default (None) is the PYRAMID's dtype, so the
+      contract does not vary with the dispatch path or backend: bf16 volumes
+      yield bf16 samples (f32 accumulation inside), f32 volumes yield f32.
     """
     B, H, W, _ = coords.shape
     c = coords.reshape(B, H * W, 2)
     if isinstance(pyramid, tuple) and pyramid[0] == "alt":
         from mft_tpu.ops.alt_corr_pallas import corr_lookup_alt
         _, f1_flat, f2_pyr = pyramid
+        if out_dtype is None:
+            out_dtype = f2_pyr[0].dtype
         out = corr_lookup_alt(f1_flat, f2_pyr, c, radius)
-        return out.reshape(B, H, W, -1)
+        return out.reshape(B, H, W, -1).astype(out_dtype)
+    if out_dtype is None:
+        out_dtype = pyramid[0].dtype
     if method in ("auto", "pallas"):
         from mft_tpu.ops.corr_lookup_pallas import corr_lookup_pallas, _tile_p
         use_pallas = method == "pallas" or jax.default_backend() == "tpu"
@@ -216,11 +221,11 @@ def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4,
         cap = 128 if pyramid[0].dtype == jnp.bfloat16 else 64
         if use_pallas and _tile_p(H * W, cap) >= 8:
             out = _corr_lookup_pallas_ad(tuple(pyramid), c, radius, cap)
-            return out.reshape(B, H, W, -1)
+            return out.reshape(B, H, W, -1).astype(out_dtype)
         method = "mxu"
     lookup = _lookup_level_mxu if method == "mxu" else _lookup_level
     out = [
         lookup(corr_l, c / (2.0 ** lvl), radius)
         for lvl, corr_l in enumerate(pyramid)
     ]
-    return jnp.concatenate(out, axis=-1).reshape(B, H, W, -1)
+    return jnp.concatenate(out, axis=-1).reshape(B, H, W, -1).astype(out_dtype)

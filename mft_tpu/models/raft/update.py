@@ -127,6 +127,13 @@ def _fused_conv_pair(parent, conv_a, conv_b, x, ksize, pad):
     apply time a single lax conv runs with the kernels concatenated along
     the output-channel axis — bit-identical outputs, one MXU pass instead of
     two. Output channels: [conv_a out, conv_b out].
+
+    Caveat: reading raw params via ``parent.scope.get_variable`` bypasses
+    ``nn.Conv.__call__``, so Conv-level features (precision args, param-dtype
+    promotion, partitioning metadata) and module transforms (nn.scan/remat
+    wrapping the parent) would NOT see this apply path. Pinned by the
+    test_update_fusion parity tests; revisit if these blocks are ever wrapped
+    in a lifted transform.
     """
     if parent.is_initializing():
         return jnp.concatenate([conv_a(x), conv_b(x)], axis=-1)
@@ -242,8 +249,9 @@ class OcclusionAndUncertaintyBlock(nn.Module):
             # both heads' first convs (3x3, 712 -> 128 each) share the input;
             # run them as one fused 712 -> 256 conv (bit-identical, see
             # _fused_conv_pair) so the wide input is read once
-            occl_head = SimpleHead(128, 2, dtype=dt, name="occl_head")
-            unc_head = SimpleHead(128, 1, dtype=dt, name="uncertainty_head")
+            hd = 128  # heads' hidden width; also the fused-output split below
+            occl_head = SimpleHead(hd, 2, dtype=dt, name="occl_head")
+            unc_head = SimpleHead(hd, 1, dtype=dt, name="uncertainty_head")
             if self.is_initializing():
                 return occl_head(x), unc_head(x)
             po = self.scope.get_variable("params", "occl_head")
@@ -260,8 +268,8 @@ class OcclusionAndUncertaintyBlock(nn.Module):
                 hh, p["conv2"]["kernel"].astype(dt), window_strides=(1, 1),
                 padding=_pad(3), dimension_numbers=("NHWC", "HWIO", "NHWC"))
                 + p["conv2"]["bias"].astype(dt))
-            occl = conv2(po, h[..., :128])
-            uncertainty = conv2(pu, h[..., 128:])
+            occl = conv2(po, h[..., :hd])
+            uncertainty = conv2(pu, h[..., hd:])
             return occl, uncertainty
         head = MoreLayersHead
         occl = head(128, 2, dtype=dt, name="occl_head")(x)

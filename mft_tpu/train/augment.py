@@ -7,8 +7,189 @@ sparse-flow-aware variant for KITTI/HD1K. Parameter ranges match the
 reference; RNG streams are our own (augmentation is stochastic by design).
 """
 
+import os
+import string
+
 import numpy as np
 import cv2
+
+
+def _perlin_noise_2d(shape, res, rng):
+    """Gradient (Perlin) noise in [-1, 1] on an H x W grid.
+
+    ``res`` is the lattice resolution (cells per axis); ``shape`` must be a
+    multiple of ``res``. Vectorized quintic-fade implementation — role parity
+    with the reference's perlin_numpy dependency (augmentor.py:58), written
+    from the textbook algorithm.
+    """
+    H, W = shape
+    gy, gx = res
+    d0, d1 = H // gy, W // gx
+    angles = 2.0 * np.pi * rng.random((gy + 1, gx + 1))
+    grad = np.stack([np.cos(angles), np.sin(angles)], axis=-1)
+    y = np.arange(H, dtype=np.float64) / d0
+    x = np.arange(W, dtype=np.float64) / d1
+    yi = np.minimum(y.astype(np.int64), gy - 1)
+    xi = np.minimum(x.astype(np.int64), gx - 1)
+    yf = (y - yi)[:, None]
+    xf = (x - xi)[None, :]
+    g00 = grad[yi][:, xi]
+    g01 = grad[yi][:, xi + 1]
+    g10 = grad[yi + 1][:, xi]
+    g11 = grad[yi + 1][:, xi + 1]
+    n00 = g00[..., 0] * xf + g00[..., 1] * yf
+    n01 = g01[..., 0] * (xf - 1.0) + g01[..., 1] * yf
+    n10 = g10[..., 0] * xf + g10[..., 1] * (yf - 1.0)
+    n11 = g11[..., 0] * (xf - 1.0) + g11[..., 1] * (yf - 1.0)
+    u = xf ** 3 * (xf * (xf * 6.0 - 15.0) + 10.0)
+    v = yf ** 3 * (yf * (yf * 6.0 - 15.0) + 10.0)
+    nx0 = n00 * (1.0 - u) + n01 * u
+    nx1 = n10 * (1.0 - u) + n11 * u
+    return np.sqrt(2.0) * (nx0 * (1.0 - v) + nx1 * v)
+
+
+# JPEG-corruption severity -> libjpeg quality, matching the imagecorruptions
+# package's jpeg_compression table used by the reference via
+# iaa.imgcorruptlike.JpegCompression (augmentor.py:216); severities 1..3.
+_JPEG_SEVERITY_QUALITY = {1: 25, 2: 18, 3: 15}
+
+
+def jpeg_corrupt(img, severity, ):
+    """Encode+decode ``img`` (uint8 RGB) as JPEG at the given severity."""
+    quality = _JPEG_SEVERITY_QUALITY[int(severity)]
+    ok, buf = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, quality])
+    assert ok
+    return cv2.imdecode(buf, cv2.IMREAD_COLOR)
+
+
+class BlendAugmenter:
+    """Lighten-only blend of a random distractor image through Perlin alpha.
+
+    Role parity with reference augmentor.py:26-93 (``BlendAugmenter``): pick a
+    random image under ``source_dir``, resize to the frame, modulate its alpha
+    with clipped Perlin noise, and lighten-only blend it identically into both
+    frames with random opacity in [0, 0.6].
+    """
+
+    def __init__(self, source_dir=None, do_blend_transform=True,
+                 blend_prop=0.5, blend_clip_min=0.5, blend_clip_max=0.8,
+                 octaves=8, rng=None):
+        self.do_blend_transform = bool(do_blend_transform and source_dir)
+        self.blend_prop = blend_prop
+        self.blend_clip_min = blend_clip_min
+        self.blend_clip_max = blend_clip_max
+        self.octaves = octaves
+        self.rng = rng if rng is not None else np.random.default_rng()
+        self.image_list = []
+        if self.do_blend_transform:
+            for root, _dirs, files in os.walk(source_dir):
+                self.image_list += [os.path.join(root, f) for f in files]
+            self.image_list.sort()
+            self.do_blend_transform = bool(self.image_list)
+
+    def _perlin_alpha(self, H, W):
+        g = self.octaves
+        Hb = ((H // g ** 2) + 1) * g ** 2
+        Wb = ((W // g ** 2) + 1) * g ** 2
+        noise = _perlin_noise_2d((Hb, Wb), (g, g), self.rng)[:H, :W]
+        noise = noise - noise.min()
+        noise = np.clip(noise, self.blend_clip_min, self.blend_clip_max)
+        noise = noise - self.blend_clip_min
+        m = noise.max()
+        return noise / m if m > 0 else noise
+
+    def _lighten_only(self, img, blend_rgb, alpha, opacity):
+        """max-blend composited at per-pixel ratio alpha*opacity."""
+        ratio = (alpha * opacity)[..., None]
+        comp = np.maximum(img.astype(np.float32), blend_rgb)
+        out = comp * ratio + img.astype(np.float32) * (1.0 - ratio)
+        return np.round(out).astype(np.uint8)
+
+    def __call__(self, img1, img2):
+        if not self.do_blend_transform or self.rng.uniform() >= self.blend_prop:
+            return img1, img2
+        H, W = img1.shape[:2]
+        path = self.image_list[int(self.rng.integers(len(self.image_list)))]
+        blend = cv2.imread(path, cv2.IMREAD_COLOR)
+        if blend is None:
+            return img1, img2
+        blend = cv2.cvtColor(blend, cv2.COLOR_BGR2RGB).astype(np.float32)
+        blend = cv2.resize(blend, (W, H), interpolation=cv2.INTER_AREA)
+        alpha = self._perlin_alpha(H, W)
+        opacity = self.rng.uniform(0.0, 0.6)
+        return (self._lighten_only(img1, blend, alpha, opacity),
+                self._lighten_only(img2, blend, alpha, opacity))
+
+
+class TextAugmenter:
+    """Random text overlays rendered identically on both frames.
+
+    Role parity with reference augmentor.py:96-154 (``TextAugmenter``): 1..max
+    layers of random strings at random font/size/color/position, optionally
+    alpha-blended; text pixels are marked invalid in the flow validity mask.
+    """
+
+    def __init__(self, do_add_text=False, max_add_text=3, add_text_prop=0.5,
+                 set_text_flow_invalid=True, min_length_text=5,
+                 max_length_text=20, font_size_max=2.5, font_thickness_max=5,
+                 wb_text_prop=0.5, alpha_text_prop=0.5, rng=None):
+        self.do_add_text = do_add_text
+        self.max_add_text = max_add_text
+        self.add_text_prop = add_text_prop
+        self.set_text_flow_invalid = set_text_flow_invalid
+        self.min_length_text = min_length_text
+        self.max_length_text = max_length_text
+        self.font_size_max = font_size_max
+        self.font_thickness_max = font_thickness_max
+        self.wb_text_prop = wb_text_prop
+        self.alpha_text_prop = alpha_text_prop
+        self.rng = rng if rng is not None else np.random.default_rng()
+
+    def _random_string(self, length):
+        chars = string.digits + string.ascii_letters + "    "
+        idx = self.rng.integers(len(chars), size=length)
+        return "".join(chars[i] for i in idx)
+
+    def _add_text(self, img1, img2, valid):
+        # previous layer may have alpha-blended to float; putText needs u8
+        img1 = np.round(img1).astype(np.uint8)
+        img2 = np.round(img2).astype(np.uint8)
+        rng = self.rng
+        font = int(rng.integers(0, 8))
+        if rng.uniform() > self.wb_text_prop:
+            color = tuple(int(c) for c in rng.integers(0, 256, size=3))
+        else:
+            c = int(rng.integers(0, 256))
+            color = (c, c, c)
+        text = self._random_string(
+            int(rng.integers(self.min_length_text, self.max_length_text + 1)))
+        pos = (int(rng.integers(0, img1.shape[1])),
+               int(rng.integers(0, img1.shape[0])))
+        size = rng.uniform() * self.font_size_max
+        thick = int(rng.integers(1, self.font_thickness_max + 1))
+
+        img1_t = cv2.putText(img1.copy(), text, pos, font, size, color,
+                             thickness=thick)
+        img2_t = cv2.putText(img2.copy(), text, pos, font, size, color,
+                             thickness=thick)
+        mask = np.ones_like(img1)
+        mask = cv2.putText(mask, text, pos, font, size, (0, 0, 0),
+                           thickness=thick)
+        if self.set_text_flow_invalid:
+            valid = valid * (mask[..., 0] > 0)
+        if rng.uniform() < self.alpha_text_prop:
+            a = rng.uniform()
+            img1_t = a * img1_t + (1.0 - a) * img1
+            img2_t = a * img2_t + (1.0 - a) * img2
+        return img1_t, img2_t, valid
+
+    def __call__(self, img1, img2, valid):
+        if self.do_add_text and self.rng.uniform() < self.add_text_prop:
+            for _ in range(int(self.rng.integers(1, self.max_add_text + 1))):
+                img1, img2, valid = self._add_text(img1, img2, valid)
+            img1 = img1.astype(np.uint8)
+            img2 = img2.astype(np.uint8)
+        return img1, img2, valid
 
 
 def _adjust_photometric(img, rng, brightness=0.4, contrast=0.4,
@@ -38,7 +219,11 @@ class FlowAugmenter:
                  do_flip=True, load_occlusion=False, asymmetric_color_aug_prob=0.2,
                  spatial_aug_prob=0.8, eraser_aug_prob=0.5, stretch_prob=0.8,
                  max_stretch=0.2, h_flip_prob=0.5, v_flip_prob=0.1,
-                 out_of_frame_occlusion=True, seed=None):
+                 out_of_frame_occlusion=True, seed=None,
+                 do_jpeg_transform=False, jpeg_prop=0.8,
+                 blend_source=None, do_blend_transform=None, blend_prop=0.5,
+                 do_add_text_transform=False, add_text_prop=0.5,
+                 max_add_text=3):
         self.crop_size = tuple(crop_size)
         self.min_scale = min_scale
         self.max_scale = max_scale
@@ -53,6 +238,18 @@ class FlowAugmenter:
         self.v_flip_prob = v_flip_prob
         self.out_of_frame_occlusion = out_of_frame_occlusion
         self.rng = np.random.default_rng(seed)
+        # corruption/overlay augmenters (reference augmentor.py:169-183):
+        # blend -> text -> jpeg, applied after the spatial transform.
+        self.do_jpeg_transform = do_jpeg_transform
+        self.jpeg_prop = jpeg_prop
+        if do_blend_transform is None:
+            do_blend_transform = blend_source is not None
+        self.blend_aug = BlendAugmenter(
+            source_dir=blend_source, do_blend_transform=do_blend_transform,
+            blend_prop=blend_prop, rng=self.rng)
+        self.text_aug = TextAugmenter(
+            do_add_text=do_add_text_transform, max_add_text=max_add_text,
+            add_text_prop=add_text_prop, rng=self.rng)
 
     # -- photometric -------------------------------------------------------
     def color_transform(self, img1, img2):
@@ -62,6 +259,15 @@ class FlowAugmenter:
         stacked = np.concatenate([img1, img2], axis=0)
         stacked = _adjust_photometric(stacked, self.rng)
         return np.split(stacked, 2, axis=0)
+
+    def jpeg_transform(self, img1, img2):
+        """JPEG-corrupt both frames at a shared random severity 1..3
+        (reference augmentor.py:212-218)."""
+        if self.do_jpeg_transform and self.rng.uniform() < self.jpeg_prop:
+            severity = int(self.rng.integers(1, 4))
+            img1 = jpeg_corrupt(img1, severity)
+            img2 = jpeg_corrupt(img2, severity)
+        return img1, img2
 
     def eraser_transform(self, img1, img2, bounds=(50, 100)):
         """Occlusion simulation: rectangles of img2 -> its mean color."""
@@ -136,12 +342,21 @@ class FlowAugmenter:
         """returns (img1, img2, flow, valid, occl), all channel-last numpy."""
         occl2d = occl[..., 0] if (occl is not None and occl.ndim == 3) else occl
         img1, img2 = self.color_transform(img1, img2)
-        img1, img2 = self.eraser_transform(img1, img2)
+        if not self.load_occlusion:
+            # with real occlusion GT the eraser would corrupt it
+            # (reference augmentor.py:307-308)
+            img1, img2 = self.eraser_transform(img1, img2)
         img1, img2, flow, occl2d = self.spatial_transform(img1, img2, flow, occl2d)
-        if occl2d is not None and self.out_of_frame_occlusion:
-            occl2d = self.mark_out_of_frame_occluded(flow, occl2d)
         valid = ((np.abs(flow[..., 0]) < 1000)
                  & (np.abs(flow[..., 1]) < 1000)).astype(np.float32)
+        # post-spatial corruptions, reference order: blend -> text -> jpeg
+        # (augmentor.py:313-315)
+        img1, img2 = self.blend_aug(img1, img2)
+        img1, img2, valid = self.text_aug(img1, img2, valid)
+        img1, img2 = self.jpeg_transform(img1, img2)
+        valid = valid.astype(np.float32)
+        if occl2d is not None and self.out_of_frame_occlusion:
+            occl2d = self.mark_out_of_frame_occluded(flow, occl2d)
         occl_out = occl2d[..., None] if occl2d is not None else None
         return img1, img2, flow, valid, occl_out
 
@@ -155,7 +370,7 @@ class SparseFlowAugmenter:
     """
 
     def __init__(self, crop_size, min_scale=-0.2, max_scale=0.5, do_flip=False,
-                 load_occlusion=False, seed=None):
+                 load_occlusion=False, seed=None, **kwargs):
         self.crop_size = tuple(crop_size)
         self.min_scale = min_scale
         self.max_scale = max_scale
@@ -164,8 +379,12 @@ class SparseFlowAugmenter:
         self.spatial_aug_prob = 0.8
         self.h_flip_prob = 0.5
         self.eraser_aug_prob = 0.5
-        self._dense = FlowAugmenter(crop_size, seed=seed)
+        # jpeg/blend/text corruption augmenters are supported here too
+        # (reference augmentor.py:338-353, 488-490)
+        self._dense = FlowAugmenter(crop_size, seed=seed, **kwargs)
         self._dense.rng = self.rng
+        self._dense.blend_aug.rng = self.rng
+        self._dense.text_aug.rng = self.rng
 
     @staticmethod
     def resize_sparse_flow_map(flow, valid, fx, fy):
@@ -215,6 +434,10 @@ class SparseFlowAugmenter:
         sl = (slice(y0, y0 + self.crop_size[0]), slice(x0, x0 + self.crop_size[1]))
         img1, img2 = img1[sl], img2[sl]
         flow, valid = flow[sl], valid[sl]
+        img1, img2 = self._dense.blend_aug(img1, img2)
+        img1, img2, valid = self._dense.text_aug(img1, img2, valid)
+        img1, img2 = self._dense.jpeg_transform(img1, img2)
+        valid = valid.astype(np.float32)
         occl_out = np.zeros((*flow.shape[:2], 1), np.float32)
         return (np.ascontiguousarray(img1), np.ascontiguousarray(img2),
                 np.ascontiguousarray(flow), np.ascontiguousarray(valid),

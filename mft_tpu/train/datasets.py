@@ -345,17 +345,21 @@ class MixedDataset:
         return self.parts[part][index - self.offsets[part]]
 
 
-def fetch_dataset(stage, image_size, env=None):
+def fetch_dataset(stage, image_size, env=None, dashcam_augmentation=False):
     """Build the training mix for an official stage name.
 
     Official MFT stage 'sintel_things_kubric_train_subsplit' mixes
     100x sintel_clean + 100x sintel_final + things_final + kubric with
     zoom-in augmentation for kubric (reference datasets.py:541-630).
+    ``dashcam_augmentation`` adds JPEG corruption at p=0.5 to every stage
+    (reference datasets.py:546-552: do_jpeg_transform=True, jpeg_prop=0.5).
     """
     from mft_tpu.environment import env_settings
     env = env or env_settings()
     aug = {"crop_size": image_size, "min_scale": -0.2, "max_scale": 0.6,
            "do_flip": True}
+    if dashcam_augmentation:
+        aug.update({"do_jpeg_transform": True, "jpeg_prop": 0.5})
 
     if stage == "chairs":
         return FlyingChairs(dict(aug, min_scale=-0.1, max_scale=1.0),

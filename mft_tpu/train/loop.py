@@ -13,11 +13,9 @@ over a device mesh (see mft_tpu.parallel).
 
 import argparse
 import logging
-import time
 from functools import partial
 from pathlib import Path
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
@@ -147,28 +145,29 @@ def train(args):
     loader = BatchLoader(dataset, args.batch_size, num_workers=args.num_workers)
 
     from mft_tpu.train.checkpoint import save_checkpoint, export_weights
+    from mft_tpu.train.logger import TrainLogger
     ckpt_dir = Path(args.checkpoint_dir) / args.name
-    run_metrics = []
-    t0 = time.time()
+    tlog = TrainLogger(ckpt_dir / "runs")
+    tlog.total_steps = int(state["step"])
     for batch in loader:
         batch = tuple(jnp.asarray(b) for b in batch)
         state, metrics = step_fn(state, batch)
-        run_metrics.append(metrics)
         step = int(state["step"])
-        if step % SUM_FREQ == 0:
-            means = {k: float(np.mean([m[k] for m in run_metrics]))
-                     for k in run_metrics[-1]}
-            lr = float(schedule(step))
-            logger.info("step %6d lr %.2e %s (%.2f s/step)", step, lr,
-                        " ".join(f"{k.split('/')[-1]}={v:.4f}"
-                                 for k, v in means.items()),
-                        (time.time() - t0) / SUM_FREQ)
-            run_metrics = []
-            t0 = time.time()
+        tlog.push(metrics, lr=float(schedule(step)))
         if step % VAL_FREQ == 0 or step >= args.num_steps:
             save_checkpoint(ckpt_dir, step, state)
             export_weights(ckpt_dir / f"{args.name}_step{step}.msgpack",
                            state["variables"])
+            # image panels from the current batch (reference train.py:444-465)
+            try:
+                preds = model.apply(state["variables"], batch[0][:1],
+                                    batch[1][:1], iters=args.iters,
+                                    test_mode=False)
+                tlog.write_prediction_panels(
+                    tuple(b[:1] if b is not None else None for b in batch),
+                    preds)
+            except Exception:
+                logger.exception("panel rendering failed")
             if args.validation:
                 from mft_tpu.train.validate import run_validation
                 for val_name in args.validation:
@@ -176,10 +175,13 @@ def train(args):
                         res = run_validation(val_name, model, state["variables"],
                                              iters=args.iters)
                         logger.info("validation %s @%d: %s", val_name, step, res)
+                        tlog.write_dict({f"val/{val_name}/{k}": v
+                                         for k, v in res.items()})
                     except Exception:
                         logger.exception("validation %s failed", val_name)
         if step >= args.num_steps:
             break
+    tlog.close()
     return state
 
 

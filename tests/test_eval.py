@@ -238,3 +238,68 @@ def test_jhmdb_dataset(tmp_path, rng):
     np.testing.assert_allclose(r["gt_pose"][0, 0, 0, 0],
                                pos[0, 0, 0] * 256.0 / W, rtol=1e-6)
     assert (r["im_size"] == [H, W]).all()
+
+
+def test_compute_pck(rng):
+    """PCK: perfect prediction -> 1.0 at all alphas; a keypoint offset by
+    0.15 * bbox-diagonal counts at alpha >= 0.2 but not at alpha 0.1."""
+    from mft_tpu.eval.metrics import compute_pck
+
+    T, J = 4, 5
+    gt = rng.uniform(10, 90, (T, J, 2))
+    res = compute_pck(gt, gt.copy())
+    assert set(res) == {"PCK@0.1", "PCK@0.2", "PCK@0.3", "PCK@0.4", "PCK@0.5"}
+    assert all(v == 1.0 for v in res.values())
+
+    # one keypoint in one frame moved by 0.15 * that frame's bbox diagonal
+    pred = gt.copy()
+    bbox = gt[0].max(axis=0) - gt[0].min(axis=0)
+    scale = np.hypot(*bbox)
+    pred[0, 0, 0] += 0.15 * scale
+    res = compute_pck(gt, pred)
+    n = T * J
+    assert res["PCK@0.1"] == pytest.approx((n - 1) / n)
+    assert res["PCK@0.2"] == 1.0
+
+    # valid mask excludes the bad keypoint entirely
+    valid = np.ones((T, J), bool)
+    valid[0, 0] = False
+    res = compute_pck(gt, pred, valid=valid)
+    assert res["PCK@0.1"] == 1.0
+
+
+def test_latex_table():
+    """Header/field-order parity with reference tapvid_eval_stuff.py:240-272."""
+    from mft_tpu.eval.metrics import latex_table
+
+    scalars = {"average_jaccard": 0.5, "average_pts_within_thresh": 0.7,
+               "occlusion_accuracy": 0.9}
+    for t in (1, 2, 4, 8, 16):
+        scalars[f"jaccard_{t}"] = 0.4
+        scalars[f"pts_within_{t}"] = 0.6
+    out = latex_table(scalars)
+    header, body = out.split("\n")
+    assert header.startswith("AJ & $<\\delta^{x}_{avg}$ & OA")
+    cells = body.split(" & ")
+    assert len(cells) == 13
+    assert cells[0] == "50.0" and cells[1] == "70.0" and cells[2] == "90.0"
+    assert cells[3] == "40.0" and cells[-1] == "60.0"
+
+    pck = {f"PCK@{a}": 0.25 for a in (0.1, 0.2, 0.3, 0.4, 0.5)}
+    out = latex_table(pck)
+    header, body = out.split("\n")
+    assert header == "PCK@0.1 & PCK@0.2 & PCK@0.3 & PCK@0.4 & PCK@0.5"
+    assert body.split(" & ") == ["25.0"] * 5
+
+
+def test_jhmdb_pck_smoke(tmp_path, rng):
+    """End-to-end: JHMDB reader fields -> PCK on a synthetic sequence."""
+    from mft_tpu.eval.metrics import compute_pck
+
+    T, J = 6, 15
+    gt_pose_orig = rng.uniform(20, 200, (J, T, 2)).transpose(1, 0, 2)  # (T,J,2)
+    # a tracker that is right except for small noise
+    pred = gt_pose_orig + rng.normal(0, 1.0, gt_pose_orig.shape)
+    res = compute_pck(gt_pose_orig, pred)
+    assert res["PCK@0.5"] >= res["PCK@0.1"]
+    assert res["PCK@0.1"] > 0.5  # 1px noise vs ~25px threshold

@@ -309,3 +309,162 @@ def test_orbax_full_state_checkpoint_roundtrip(tmp_path, rng):
     ob = jax.tree.leaves(state["opt_state"])
     for x, y in zip(oa, ob):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_jpeg_transform_structural(rng):
+    """Fixed-seed JPEG corruption: same shape/dtype, visibly lossy, both
+    frames corrupted at a shared severity (reference augmentor.py:212-218)."""
+    from mft_tpu.train.augment import FlowAugmenter, jpeg_corrupt
+    img = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    out = jpeg_corrupt(img, severity=3)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert not np.array_equal(out, img)  # lossy at quality 15
+    # severity ordering: stronger corruption -> larger deviation
+    e1 = np.abs(jpeg_corrupt(img, 1).astype(int) - img.astype(int)).mean()
+    e3 = np.abs(jpeg_corrupt(img, 3).astype(int) - img.astype(int)).mean()
+    assert e3 >= e1
+
+    aug = FlowAugmenter(crop_size=(32, 32), seed=0, do_jpeg_transform=True,
+                        jpeg_prop=1.0)
+    i1, i2 = aug.jpeg_transform(img.copy(), img.copy())
+    assert not np.array_equal(i1, img)
+    np.testing.assert_array_equal(i1, i2)  # same severity on both
+
+
+def test_blend_augmenter_structural(tmp_path, rng):
+    """Perlin-alpha lighten-only blend: output >= input (lighten-only),
+    uint8, applied identically to both frames (reference augmentor.py:26-93)."""
+    import cv2
+    from mft_tpu.train.augment import BlendAugmenter, _perlin_noise_2d
+
+    noise = _perlin_noise_2d((128, 128), (8, 8), np.random.default_rng(0))
+    assert noise.shape == (128, 128)
+    assert -1.5 < noise.min() < noise.max() < 1.5
+    assert noise.std() > 0.05  # non-degenerate
+
+    src = tmp_path / "coco"
+    src.mkdir()
+    bright = np.full((40, 60, 3), 255, np.uint8)
+    cv2.imwrite(str(src / "b.png"), bright)
+    aug = BlendAugmenter(source_dir=str(src), blend_prop=1.0,
+                         rng=np.random.default_rng(3))
+    img1 = rng.integers(0, 100, (64, 96, 3), dtype=np.uint8)
+    img2 = img1.copy()
+    o1, o2 = aug(img1, img2)
+    assert o1.dtype == np.uint8 and o1.shape == img1.shape
+    assert (o1.astype(int) >= img1.astype(int) - 1).all()  # lighten-only
+    np.testing.assert_array_equal(o1, o2)  # same blend on both frames
+    # disabled when no source dir
+    off = BlendAugmenter(source_dir=None, blend_prop=1.0)
+    a, b = off(img1.copy(), img2.copy())
+    np.testing.assert_array_equal(a, img1)
+
+
+def test_text_augmenter_structural(rng):
+    """Random text overlays: pixels changed, validity zeroed under the text
+    (reference augmentor.py:96-154)."""
+    from mft_tpu.train.augment import TextAugmenter
+    img1 = np.zeros((96, 128, 3), np.uint8)
+    img2 = np.zeros((96, 128, 3), np.uint8)
+    valid = np.ones((96, 128), np.float32)
+    aug = TextAugmenter(do_add_text=True, add_text_prop=1.0, max_add_text=3,
+                        rng=np.random.default_rng(1))
+    # some draws can land text off-frame; try a few seeds deterministically
+    for seed in range(1, 6):
+        aug.rng = np.random.default_rng(seed)
+        o1, o2, ov = aug(img1.copy(), img2.copy(), valid.copy())
+        if (o1 != img1).any():
+            break
+    assert (o1 != img1).any()
+    assert o1.dtype == np.uint8
+    assert ov.min() == 0.0  # text pixels invalidated
+    # invalidated exactly where non-alpha-blended text pixels were drawn
+    assert ((ov == 0) | (ov == 1)).all()
+
+
+def test_flow_augmenter_call_with_corruptions(rng):
+    """End-to-end __call__ with jpeg+text on: shapes and valid-mask dtype."""
+    from mft_tpu.train.augment import FlowAugmenter
+    H, W = 96, 128
+    img1 = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+    img2 = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+    flow = rng.standard_normal((H, W, 2)).astype(np.float32) * 3
+    occl = np.zeros((H, W, 1), np.float32)
+    aug = FlowAugmenter(crop_size=(64, 64), seed=0, do_jpeg_transform=True,
+                        jpeg_prop=1.0, do_add_text_transform=True,
+                        add_text_prop=1.0)
+    o1, o2, of, ov, oo = aug(img1, img2, flow, None, occl)
+    assert o1.shape == (64, 64, 3) and of.shape == (64, 64, 2)
+    assert ov.shape == (64, 64) and ov.dtype == np.float32
+    assert oo.shape == (64, 64, 1)
+
+
+def test_fetch_dataset_dashcam_flag(tmp_path, monkeypatch):
+    """dashcam_augmentation=True threads jpeg params into the augmenters
+    (reference datasets.py:546-552)."""
+    from mft_tpu.train import datasets as D
+
+    class Env:
+        sintel_dir = flyingchairs_dir = flyingthings_dir = None
+        kubric_dir = kitti_dir = hd1k_dir = None
+
+    captured = {}
+    orig = D.FlyingChairs.__init__
+
+    def spy(self, aug_params=None, **kw):
+        captured.update(aug_params or {})
+        self.augmentor = None
+        self.flow_list, self.image_list = [], []
+        self.sparse = False
+        self.load_occlusion = False
+
+    monkeypatch.setattr(D.FlyingChairs, "__init__", spy)
+    D.fetch_dataset("chairs", (368, 496), env=Env(), dashcam_augmentation=True)
+    assert captured.get("do_jpeg_transform") is True
+    assert captured.get("jpeg_prop") == 0.5
+
+
+def test_train_logger(tmp_path, rng):
+    """Scalars jsonl + panel PNGs (reference Logger, train.py:262-346)."""
+    import json
+    from mft_tpu.train.logger import TrainLogger, SUM_FREQ, render_panel
+
+    tlog = TrainLogger(tmp_path / "run", use_tensorboard=False)
+    for i in range(SUM_FREQ):
+        tlog.push({"train/loss": float(i)}, lr=1e-4)
+    lines = (tmp_path / "run" / "scalars.jsonl").read_text().splitlines()
+    rec = json.loads(lines[-1])
+    assert rec["step"] == SUM_FREQ
+    assert rec["train/loss"] == pytest.approx(np.mean(np.arange(SUM_FREQ)))
+    assert rec["lr"] == pytest.approx(1e-4)
+
+    # validation scalars
+    tlog.write_dict({"val/sintel/epe": 1.5})
+    rec = json.loads((tmp_path / "run" / "scalars.jsonl")
+                     .read_text().splitlines()[-1])
+    assert rec["val/sintel/epe"] == 1.5
+
+    # panel rendering dispatch
+    flow_img = render_panel("flow_est", rng.standard_normal((8, 8, 2)))
+    assert flow_img.shape == (8, 8, 3) and flow_img.dtype == np.uint8
+    occl_img = render_panel("occl_est_pos", np.full((8, 8, 1), 300.0))
+    assert occl_img.max() == 255  # clamped
+
+    # full prediction panel set
+    B, H, W = 1, 16, 24
+    batch = (rng.integers(0, 255, (B, H, W, 3)).astype(np.float32),
+             rng.integers(0, 255, (B, H, W, 3)).astype(np.float32),
+             rng.standard_normal((B, H, W, 2)).astype(np.float32),
+             np.ones((B, H, W), np.float32),
+             np.zeros((B, H, W, 1), np.float32))
+    preds = {"flow": [rng.standard_normal((B, H, W, 2)).astype(np.float32)],
+             "occlusion": [rng.standard_normal((B, H, W, 2)).astype(np.float32)],
+             "uncertainty": [rng.standard_normal((B, H, W, 1)).astype(np.float32)]}
+    tlog.write_prediction_panels(batch, preds)
+    panel_dir = tmp_path / "run" / "panels" / f"step_{tlog.total_steps:06d}"
+    names = {p.name for p in panel_dir.iterdir()}
+    assert {"image1.png", "image2.png", "valid.png", "flow_gt.png",
+            "occl_gt.png", "flow_est.png", "occl_est_neg.png",
+            "occl_est_pos.png", "sigma_est.png", "sigma_est_minmax.png",
+            "sigma2_est.png", "sigma2_est_minmax.png"} <= names
+    tlog.close()
