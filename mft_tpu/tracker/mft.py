@@ -97,7 +97,11 @@ class MFT:
         return meta
 
     def _use_fused(self):
-        return (self.flow_cache is None and not bool(self.C.timers_enabled)
+        # the fused fast path also runs under a FlowCache (cache reads are
+        # injected as device arrays, computed pairs written back — see
+        # _track_fused_cached); only the phase-timer mode needs the
+        # unfused path's per-phase sync points
+        return (not bool(self.C.timers_enabled)
                 and hasattr(self.flower, "features_forward"))
 
     def _get_encode(self):
@@ -126,11 +130,13 @@ class MFT:
 
         cands = self._candidates(t)
         if self._use_fused() and self.mem_fmap is not None:
-            # no-cache fast path: the WHOLE frame (one-image encode into the
+            # fast path: the WHOLE frame (one-image encode into the
             # feature ring + batched flow-from-features + chain/select +
             # memory update) is ONE jitted call — per-op dispatch through a
             # remote device tunnel costs milliseconds, and cached features
             # mean 1 fnet + 1 cnet pass per frame instead of 14 + 7
+            if self.flow_cache is not None:
+                return self._track_fused_cached(img, cands, t)
             slots = jnp.asarray([c.slot for c in cands], jnp.int32)
             valid = jnp.asarray([c.valid for c in cands], bool)
             wslot = jnp.int32(t % self.ring)
@@ -245,13 +251,90 @@ class MFT:
         sigmas = jnp.stack([jnp.asarray(p[2]) for p in per])
         return flows, occls, sigmas
 
+    def _track_fused_cached(self, img, cands, t):
+        """Fused frame step honoring a FlowCache (reference MFT.py:189-230).
+
+        Cache reads happen host-side; hits are injected into the jitted step
+        as device arrays. If every valid finite-delta pair hits, only the
+        non-hit pairs (typically just delta=inf) run through RAFT — via a
+        statically-shaped injection variant. Any finite miss triggers the
+        full-batch variant (one static shape, same policy as the unfused
+        path), and computed cacheable pairs are written back.
+        """
+        cache = self.flow_cache
+        N = len(cands)
+        cached = {}
+        for i, c in enumerate(cands):
+            if c.valid and c.cacheable:
+                hit = cache.read(c.left_id, t)
+                if hit is not None:
+                    cached[i] = hit
+
+        finite_valid = [i for i, c in enumerate(cands)
+                        if c.valid and np.isfinite(c.delta)]
+        all_finite_hit = all(i in cached for i in finite_valid)
+
+        slots = jnp.asarray([c.slot for c in cands], jnp.int32)
+        valid = jnp.asarray([c.valid for c in cands], bool)
+        wslot = jnp.int32(t % self.ring)
+
+        if not all_finite_hit:
+            # full-batch compute (computed values win over stale hits, same
+            # as the unfused path); write back every cacheable miss
+            step = self._get_fused_frame(pairwise_out=True)
+            (self.mem_imgs, self.mem_flow, self.mem_occl, self.mem_sigma,
+             self.mem_fmap, self.mem_cnet, result,
+             flows, occls, sigmas) = step(
+                self.flower.variables, self.mem_imgs, self.mem_flow,
+                self.mem_occl, self.mem_sigma, self.mem_fmap, self.mem_cnet,
+                img, slots, valid, wslot)
+            for i, c in enumerate(cands):
+                if c.valid and c.cacheable and i not in cached:
+                    cache.write(c.left_id, t, np.asarray(flows[i]),
+                                np.asarray(occls[i]), np.asarray(sigmas[i]))
+        else:
+            compute_idx = tuple(i for i, c in enumerate(cands)
+                                if c.valid and i not in cached)
+            H, W = self.img_H, self.img_W
+            zf = np.zeros((H, W, 2), np.float32)
+            zs = np.zeros((H, W), np.float32)
+            inj = [cached.get(i, (zf, zs, zs)) for i in range(N)]
+            inj_flows = jnp.asarray(np.stack([np.asarray(p[0]) for p in inj]))
+            inj_occls = jnp.asarray(np.stack([np.asarray(p[1]) for p in inj]))
+            inj_sigmas = jnp.asarray(np.stack([np.asarray(p[2]) for p in inj]))
+            step = self._get_fused_frame_inject(compute_idx)
+            (self.mem_imgs, self.mem_flow, self.mem_occl, self.mem_sigma,
+             self.mem_fmap, self.mem_cnet, result,
+             flows, occls, sigmas) = step(
+                self.flower.variables, self.mem_imgs, self.mem_flow,
+                self.mem_occl, self.mem_sigma, self.mem_fmap, self.mem_cnet,
+                img, slots, valid, wslot, inj_flows, inj_occls, inj_sigmas)
+            for i in compute_idx:
+                c = cands[i]
+                if c.cacheable:
+                    cache.write(c.left_id, t, np.asarray(flows[i]),
+                                np.asarray(occls[i]), np.asarray(sigmas[i]))
+
+        meta = SimpleNamespace()
+        meta.result = result
+        return meta
+
     # ------------------------------------------------------------------ #
-    def _get_fused_frame(self):
-        """One jitted function for a full no-cache frame (see track())."""
-        key = (self.img_H, self.img_W)
+    def _frame_fn_cache(self):
         cache = getattr(self, "_fused_frame_fns", None)
         if cache is None:
             cache = self._fused_frame_fns = {}
+        return cache
+
+    def _get_fused_frame(self, pairwise_out=False):
+        """One jitted function for a full fused frame (see track()).
+
+        ``pairwise_out=True`` additionally returns the per-candidate pairwise
+        (flows, occls, sigmas) so cacheable pairs can be written back to a
+        FlowCache.
+        """
+        key = (self.img_H, self.img_W, pairwise_out)
+        cache = self._frame_fn_cache()
         if key in cache:
             return cache[key]
         occl_thresh = float(self.C.occlusion_threshold or 0.02)
@@ -280,8 +363,60 @@ class MFT:
             mem_sigma = mem_sigma.at[wslot].set(result.sigma)
             mem_fmap = mem_fmap.at[wslot].set(f_new[0])
             mem_cnet = mem_cnet.at[wslot].set(c_new[0])
+            out = (mem_imgs, mem_flow, mem_occl, mem_sigma,
+                   mem_fmap, mem_cnet, result)
+            if pairwise_out:
+                out = out + (flows, occls, sigmas)
+            return out
+
+        cache[key] = frame
+        return frame
+
+    def _get_fused_frame_inject(self, compute_idx):
+        """Fused frame variant with host-injected pairwise flows.
+
+        ``compute_idx`` (static tuple) lists the candidate indices that must
+        run through RAFT; all others use the injected cache hits. Typically
+        compute_idx is (0,) — just the non-cacheable delta=inf pair — or ()
+        when everything hit, making a warm-cache frame RAFT-free.
+        """
+        key = (self.img_H, self.img_W, "inject", compute_idx)
+        cache = self._frame_fn_cache()
+        if key in cache:
+            return cache[key]
+        occl_thresh = float(self.C.occlusion_threshold or 0.02)
+        enc = self.flower.padded_encode(self.img_H, self.img_W)
+        fwd = self.flower.features_forward(self.img_H, self.img_W)
+        idx = jnp.asarray(compute_idx, jnp.int32)
+        K = len(compute_idx)
+
+        @partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6))
+        def frame(variables, mem_imgs, mem_flow, mem_occl, mem_sigma,
+                  mem_fmap, mem_cnet, img, slots, valid, wslot,
+                  inj_flows, inj_occls, inj_sigmas):
+            f_new, c_new = enc(variables, img[None].astype(jnp.float32))
+            flows, occls, sigmas = inj_flows, inj_occls, inj_sigmas
+            if K:
+                fmap1 = jnp.take(mem_fmap, jnp.take(slots, idx), axis=0)
+                cnet1 = jnp.take(mem_cnet, jnp.take(slots, idx), axis=0)
+                fmap2 = jnp.broadcast_to(f_new, (K, *f_new.shape[1:]))
+                cf, co, cs = fwd(variables, fmap1, fmap2, cnet1)
+                flows = flows.at[idx].set(cf)
+                occls = occls.at[idx].set(co)
+                sigmas = sigmas.at[idx].set(cs)
+            left = FlowOU(flow=jnp.take(mem_flow, slots, axis=0),
+                          occlusion=jnp.take(mem_occl, slots, axis=0),
+                          sigma=jnp.take(mem_sigma, slots, axis=0))
+            right = FlowOU(flow=flows, occlusion=occls, sigma=sigmas)
+            result = chain_select(left, right, valid, occl_thresh)
+            mem_imgs = mem_imgs.at[wslot].set(img)
+            mem_flow = mem_flow.at[wslot].set(result.flow)
+            mem_occl = mem_occl.at[wslot].set(result.occlusion)
+            mem_sigma = mem_sigma.at[wslot].set(result.sigma)
+            mem_fmap = mem_fmap.at[wslot].set(f_new[0])
+            mem_cnet = mem_cnet.at[wslot].set(c_new[0])
             return (mem_imgs, mem_flow, mem_occl, mem_sigma,
-                    mem_fmap, mem_cnet, result)
+                    mem_fmap, mem_cnet, result, flows, occls, sigmas)
 
         cache[key] = frame
         return frame

@@ -126,9 +126,9 @@ def test_tracker_e2e_matches_reference(tmp_path, rng, cpu_cuda_patch,
     cfg.occlusion_threshold = 0.02
     our_tracker = MFT(cfg)
 
-    # our-side FlowCache routes the tracker through the non-fused path
-    # (per-pair cache reads/writes + separate chain/select step); outputs
-    # must be identical to the reference either way
+    # our-side FlowCache keeps the fused path (cache hits injected as device
+    # arrays, computed pairs written back — tracker/mft.py
+    # _track_fused_cached); outputs must be identical to the reference
     cache = None
     if use_cache:
         from mft_tpu.io.cache import FlowCache
@@ -142,6 +142,7 @@ def test_tracker_e2e_matches_reference(tmp_path, rng, cpu_cuda_patch,
                          flow_cache=cache)
         frames = frames[-2::-1]
     else:
+        template_frame = frames[0]
         ref_tracker.init(frames[0])
         our_tracker.init(frames[0], flow_cache=cache)
         frames = frames[1:]
@@ -171,3 +172,15 @@ def test_tracker_e2e_matches_reference(tmp_path, rng, cpu_cuda_patch,
             f"frame {t}: q99 occl err {np.quantile(occl_err, 0.99):.4f}"
         assert np.quantile(sigma_err, 0.99) < 0.05, \
             f"frame {t}: q99 sigma rel err {np.quantile(sigma_err, 0.99):.4f}"
+
+    if use_cache:
+        # WARM-cache pass: every finite pair hits, so frames run through the
+        # injection variant (_get_fused_frame_inject, only the non-cacheable
+        # delta=inf pair re-runs RAFT) — results must match the cold pass
+        first_pass = np.asarray(our_meta.result.flow)
+        warm_tracker = MFT(cfg)
+        warm_tracker.init(template_frame, flow_cache=cache)
+        for frame in frames:
+            warm_meta = warm_tracker.track(frame)
+        np.testing.assert_allclose(np.asarray(warm_meta.result.flow),
+                                   first_pass, atol=1e-4)
