@@ -209,7 +209,7 @@ def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4,
         from mft_tpu.ops.alt_corr_pallas import corr_lookup_alt
         _, f1_flat, f2_pyr = pyramid
         if out_dtype is None:
-            out_dtype = f2_pyr[0].dtype
+            out_dtype = f1_flat.dtype
         out = corr_lookup_alt(f1_flat, f2_pyr, c, radius)
         return out.reshape(B, H, W, -1).astype(out_dtype)
     if out_dtype is None:

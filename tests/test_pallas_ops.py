@@ -6,6 +6,7 @@ weights, channel layout, zeros padding) end to end.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from mft_tpu.core.flowou import FlowOU
@@ -40,6 +41,7 @@ def test_corr_lookup_pallas_matches_mxu(rng):
                                atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_corr_lookup_pallas_t_matches_gather(rng):
     B, H8, W8 = 1, 16, 32
     P = H8 * W8
@@ -126,6 +128,7 @@ def test_chain_select_pallas_matches_ref(rng):
     assert flow_close.mean() > 0.98
 
 
+@pytest.mark.slow
 def test_alt_corr_matches_volume_lookup(rng):
     """On-the-fly alt corr (no materialized volume) == volume lookup."""
     from mft_tpu.ops.alt_corr_pallas import (build_feature_pyramid,
@@ -143,6 +146,7 @@ def test_alt_corr_matches_volume_lookup(rng):
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_alt_corr_full_model(rng):
     """RAFT with corr_method='alt' matches the default path."""
     import jax
@@ -185,6 +189,7 @@ def test_bilinear_warp_blocked_matches_banded(rng):
                                    atol=1e-5, err_msg=kind)
 
 
+@pytest.mark.slow
 def test_corr_lookup_win_matches_gather(rng):
     """Windowed on-the-fly lookup (fast path + fallback) == volume lookup."""
     from mft_tpu.ops.alt_corr_pallas import (build_feature_pyramid_slab,

@@ -4,6 +4,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # multichip dryrun + sharded streaming (~2-4 min)
+
 from mft_tpu.parallel.mesh import make_mesh, batch_sharding, replicated
 
 

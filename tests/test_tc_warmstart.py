@@ -6,7 +6,10 @@ coords init), forward_interpolate warm-start advection (utils.py:67-95).
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
+
+pytestmark = pytest.mark.slow  # full-RAFT warm-start paths (~1.5 min)
 
 from mft_tpu.config import Config
 from mft_tpu.models.raft import RAFTFlow

@@ -194,6 +194,7 @@ def test_point_tracking_adapter():
     assert np.all(occl < 0.02)
 
 
+@pytest.mark.slow
 def test_fused_frame_path_matches_split():
     """The one-jit-per-frame fast path (no flow cache) must produce the same
     results as the split acquire/step path, using the real RAFT model."""

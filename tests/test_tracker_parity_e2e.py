@@ -34,7 +34,10 @@ try:
 except Exception:
     HAVE_REF = False
 
-pytestmark = pytest.mark.skipif(not HAVE_REF, reason="reference repo not importable")
+pytestmark = [
+    pytest.mark.skipif(not HAVE_REF, reason="reference repo not importable"),
+    pytest.mark.slow,  # torch-oracle e2e (~1-3 min)
+]
 
 from mft_tpu.config import Config  # noqa: E402
 from mft_tpu.models.raft import RAFTFlow  # noqa: E402

@@ -149,6 +149,7 @@ def test_onecycle_matches_torch():
     np.testing.assert_allclose(ours, np.array(torch_lrs), rtol=0.02)
 
 
+@pytest.mark.slow
 def test_freeze_masks_only_update_ou_block(rng):
     """Official recipe: only occlusion_block parameters may change."""
     from mft_tpu.models.raft.raft import RAFT, RAFTParams
@@ -263,6 +264,7 @@ def test_viper_dataset_reads_npz_flow(tmp_path, rng):
     assert np.isfinite(flow).all()
 
 
+@pytest.mark.slow
 def test_orbax_full_state_checkpoint_roundtrip(tmp_path, rng):
     """save_checkpoint/restore_checkpoint round-trip the FULL train state
     (params + optimizer + step) — the resume path of --restore_ckpt with an

@@ -1,0 +1,375 @@
+"""TAP-Vid metric-parity harness: reference torch pipeline vs mft-tpu.
+
+Runs BOTH complete benchmark pipelines — the reference's
+``run_MFT_tapvid.run -> eval_MFT_tapvid.run`` (/root/reference, executed on
+CPU torch as an oracle) and ours (``mft_tpu.eval.runner -> evaluate``) — on
+the same synthetic TAP-Vid-DAVIS-format pickle with the SAME random-init
+RAFT-OU weights (shared via a DataParallel-style .pth and our checkpoint
+converter), then compares AJ / <delta_avg / OA per query mode.
+
+This closes BASELINE.md's "δ_avg/AJ parity with the PyTorch reference" gate
+at the METRIC level: not just per-frame flow parity (tests/
+test_tracker_parity_e2e.py) but the full runner/protocol/eval stack
+(reference run_MFT_tapvid.py:86-316, eval_MFT_tapvid.py:69-141,
+tapvid_eval_stuff.py:82-237).
+
+Usage: PYTHONPATH=/root/repo python tools/tapvid_parity.py [--out report.md]
+The pytest wrapper lives in tests/test_tapvid_metric_parity.py.
+"""
+
+import argparse
+import pickle
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+
+REF = "/root/reference"
+
+
+# --------------------------------------------------------------------------- #
+def install_reference_stubs():
+    """Stub optional deps the reference imports but this container lacks."""
+    if "ipdb" not in sys.modules:
+        m = types.ModuleType("ipdb")
+        m.set_trace = lambda *a, **k: None
+        m.post_mortem = lambda *a, **k: None
+        m.iex = lambda f: f
+        sys.modules["ipdb"] = m
+    if "mediapy" not in sys.modules:
+        import cv2
+
+        def resize_video(video, shape):
+            Ho, Wo = shape
+            interp = (cv2.INTER_AREA
+                      if (Ho <= video.shape[1] and Wo <= video.shape[2])
+                      else cv2.INTER_LINEAR)
+            return np.stack([cv2.resize(f, (Wo, Ho), interpolation=interp)
+                             for f in video])
+
+        m = types.ModuleType("mediapy")
+        m.resize_video = resize_video
+        sys.modules["mediapy"] = m
+
+
+def patch_torch_cpu():
+    """Route the reference's hardcoded .cuda()/.to('cuda') calls to CPU."""
+    import torch
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+
+    def _cpu_args(args, kwargs):
+        def fix(a):
+            if isinstance(a, (str, torch.device)) and str(a).startswith("cuda"):
+                return "cpu"
+            return a
+        args = tuple(fix(a) for a in args)
+        if "device" in kwargs:
+            kwargs["device"] = fix(kwargs["device"])
+        return args, kwargs
+
+    orig_tensor_to = torch.Tensor.to
+
+    def tensor_to(self, *args, **kwargs):
+        args, kwargs = _cpu_args(args, kwargs)
+        return orig_tensor_to(self, *args, **kwargs)
+
+    torch.Tensor.to = tensor_to
+    orig_module_to = torch.nn.Module.to
+
+    def module_to(self, *args, **kwargs):
+        args, kwargs = _cpu_args(args, kwargs)
+        return orig_module_to(self, *args, **kwargs)
+
+    torch.nn.Module.to = module_to
+
+
+# --------------------------------------------------------------------------- #
+def make_textured_pickle(path, rng, T=6, H=128, W=128, n_tracks=8,
+                         shift=(3.0, 2.0)):
+    """DAVIS-format pickle: textured global translation + matching GT tracks.
+
+    The texture gives the real RAFT something to latch onto; GT points ride
+    the same global shift. GT exactness is secondary — the parity being
+    tested is reference-pipeline vs our-pipeline on identical predictions.
+    """
+    import cv2
+
+    big = rng.integers(0, 255, (H + 64, W + 64, 3)).astype(np.uint8)
+    big = cv2.GaussianBlur(big, (7, 7), 2)
+    video = np.zeros((T, H, W, 3), np.uint8)
+    for t in range(T):
+        x, y = 4 + int(shift[0]) * t, 6 + int(shift[1]) * t
+        video[t] = big[y:y + H, x:x + W]
+
+    base = np.stack([rng.integers(8, int(0.6 * W), (n_tracks,)) / W,
+                     rng.integers(8, int(0.6 * H), (n_tracks,)) / H],
+                    axis=-1)[:, None, :]
+    steps = np.arange(T).reshape(1, T, 1)
+    motion = steps * np.array([-shift[0] / W, -shift[1] / H]).reshape(1, 1, 2)
+    points = np.clip(base + motion, 0.0, 0.95)
+    data = {"seq0": {"video": video,
+                     "points": points.astype(np.float64),
+                     "occluded": np.zeros((n_tracks, T), bool)}}
+    with open(path, "wb") as f:
+        pickle.dump(data, f)
+    return path
+
+
+def make_shared_weights(path, seed=0, iters=4):
+    """Random-init torch RAFT-OU weights, saved DataParallel-style."""
+    import torch
+    sys.path.insert(0, REF) if REF not in sys.path else None
+    from MFT.RAFT.core.raft import RAFT as TorchRAFT
+
+    class _Args(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError:
+                raise AttributeError(k)
+
+    torch.manual_seed(seed)
+    args = _Args(occlusion_module="separate_with_uncertainty", small=False,
+                 mixed_precision=False)
+    model = TorchRAFT(args)
+    model.eval()
+    torch.save({f"module.{k}": v for k, v in model.state_dict().items()},
+               str(path))
+    return path
+
+
+# --------------------------------------------------------------------------- #
+REF_TRACKER_CFG = '''
+import numpy as np
+import torch
+from MFT.config import Config
+from MFT.MFT import MFT
+from MFT.RAFT.core.raft import RAFT as TorchRAFT
+
+
+class CPUMFT(MFT):
+    def __init__(self, config):
+        super().__init__(config)
+        self.device = 'cpu'
+
+
+class _Args(dict):
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError:
+            raise AttributeError(k)
+
+
+def make_flow(C):
+    import MFT.raft as R
+    wrapper = object.__new__(R.RAFTWrapper)  # skip __init__'s .to('cuda')
+    wrapper.C = C
+    model = torch.nn.DataParallel(TorchRAFT(C.raft_params))
+    model.load_state_dict(torch.load(C.model, map_location='cpu'))
+    wrapper.model = model.module.requires_grad_(False).eval()
+    return wrapper
+
+
+def get_config():
+    conf = Config()
+    conf.tracker_class = CPUMFT
+    flow = Config()
+    flow.of_class = make_flow
+    flow.name = 'raftou_parity'
+    flow.model = r"{ckpt}"
+    flow.raft_params = _Args(occlusion_module='separate_with_uncertainty',
+                             small=False, mixed_precision=False)
+    flow.flow_iters = {iters}
+    conf.flow_config = flow
+    conf.deltas = [np.inf] + {finite_deltas}
+    conf.occlusion_threshold = 0.02
+    conf.name = 'ref_parity'
+    return conf
+'''
+
+REF_DATASET_CFG = '''
+from pathlib import Path
+from MFT.config import Config
+
+
+def get_config():
+    conf = Config()
+    conf.pickles = [Path(r"{pkl}")]
+    conf.scaling = '{scaling}'
+    conf.name = 'synth'
+    return conf
+'''
+
+OUR_TRACKER_CFG = '''
+import numpy as np
+from mft_tpu.config import Config
+from mft_tpu.tracker import MFT
+from mft_tpu.models.raft import RAFTFlow
+
+
+def get_config():
+    c = Config()
+    c.tracker_class = MFT
+    flow = Config()
+    flow.of_class = RAFTFlow
+    flow.raft_params = {{"occlusion_module": "separate_with_uncertainty"}}
+    flow.model = r"{ckpt}"
+    flow.flow_iters = {iters}
+    flow.name = 'raftou_parity'
+    c.flow_config = flow
+    c.deltas = [np.inf] + {finite_deltas}
+    c.occlusion_threshold = 0.02
+    c.name = 'our_parity'
+    return c
+'''
+
+OUR_DATASET_CFG = '''
+from mft_tpu.config import Config
+
+
+def get_config():
+    c = Config()
+    c.pickles = [r"{pkl}"]
+    c.scaling = '{scaling}'
+    c.name = 'synth'
+    return c
+'''
+
+
+def run_reference_pipeline(workdir, pkl, ckpt, finite_deltas, iters, scaling,
+                           mode="both"):
+    """Reference run->eval on CPU; returns {query_mode: DataFrame}."""
+    install_reference_stubs()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    patch_torch_cpu()
+
+    import MFT.utils.repro as repro
+    repro.code_export = lambda *a, **k: None  # rsync is not in this container
+
+    from MFT.runners import run_MFT_tapvid, eval_MFT_tapvid
+
+    workdir = Path(workdir)
+    workdir.mkdir(parents=True, exist_ok=True)
+    tcfg = workdir / "ref_tracker_cfg.py"
+    tcfg.write_text(REF_TRACKER_CFG.format(ckpt=ckpt, iters=iters,
+                                           finite_deltas=list(finite_deltas)))
+    dcfg = workdir / "ref_dataset_cfg.py"
+    dcfg.write_text(REF_DATASET_CFG.format(pkl=pkl, scaling=scaling))
+
+    args = run_MFT_tapvid.get_parser().parse_args(
+        [str(dcfg), str(tcfg), "--export", str(workdir / "export"),
+         "--cache", str(workdir / "cache"), "--mode", mode])
+    assert run_MFT_tapvid.run(args) == 0
+
+    eargs = eval_MFT_tapvid.get_parser().parse_args(
+        [str(dcfg), str(tcfg), "--export", str(workdir / "export"),
+         "--cache", str(workdir / "cache"), "--mode", mode])
+    assert eval_MFT_tapvid.run(eargs) == 0
+
+    import pandas as pd
+    out = {}
+    for qm, suffix in (("first", ""), ("strided", "-strided")):
+        p = workdir / "export" / "ref_parity" / "eval" / f"tapvid-eval{suffix}.pklz"
+        if p.exists():
+            out[qm] = pd.read_pickle(p)
+    return out
+
+
+def run_our_pipeline(workdir, pkl, ckpt, finite_deltas, iters, scaling,
+                     mode="both"):
+    """mft-tpu run->eval; returns {query_mode: DataFrame}."""
+    from mft_tpu.eval import runner, evaluate
+
+    workdir = Path(workdir)
+    workdir.mkdir(parents=True, exist_ok=True)
+    tcfg = workdir / "our_tracker_cfg.py"
+    tcfg.write_text(OUR_TRACKER_CFG.format(ckpt=ckpt, iters=iters,
+                                           finite_deltas=list(finite_deltas)))
+    dcfg = workdir / "our_dataset_cfg.py"
+    dcfg.write_text(OUR_DATASET_CFG.format(pkl=pkl, scaling=scaling))
+
+    args = runner.get_parser().parse_args(
+        ["--trackers", str(tcfg), "--dataset", str(dcfg),
+         "--export", str(workdir / "export"),
+         "--cache", str(workdir / "cache"), "--mode", mode])
+    assert runner.run(args) == 0
+
+    eargs = evaluate.get_parser().parse_args(
+        ["--trackers", str(tcfg), "--dataset", str(dcfg),
+         "--export", str(workdir / "export"), "--mode", mode])
+    evaluate.run(eargs)
+
+    import pandas as pd
+    out = {}
+    for qm, suffix in (("first", ""), ("strided", "-strided")):
+        p = workdir / "export" / "our_parity" / "eval" / f"tapvid-eval{suffix}.pklz"
+        if p.exists():
+            out[qm] = pd.read_pickle(p)
+    return out
+
+
+KEY_METRICS = ("average_jaccard", "average_pts_within_thresh",
+               "occlusion_accuracy")
+
+
+def compare(ref, ours):
+    """-> (markdown report, max |x100 diff| over the headline metrics)."""
+    lines = ["| query mode | metric | reference (x100) | mft-tpu (x100) | diff |",
+             "|---|---|---|---|---|"]
+    worst = 0.0
+    for qm in sorted(ref):
+        r = ref[qm].drop(columns=["seq"], errors="ignore").mean()
+        o = ours[qm].drop(columns=["seq"], errors="ignore").mean()
+        for metric in KEY_METRICS:
+            rv, ov = 100 * float(r[metric]), 100 * float(o[metric])
+            d = abs(rv - ov)
+            worst = max(worst, d)
+            lines.append(f"| {qm} | {metric} | {rv:.2f} | {ov:.2f} | {d:.2f} |")
+    return "\n".join(lines), worst
+
+
+def run_parity(workdir, T=6, H=128, W=128, n_tracks=8, finite_deltas=(1, 2),
+               iters=4, scaling=None, seed=0):
+    workdir = Path(workdir)
+    workdir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    scaling = scaling or f"{W}x{H}"
+    pkl = make_textured_pickle(workdir / "synth.pkl", rng, T=T, H=H, W=W,
+                               n_tracks=n_tracks)
+    ckpt = make_shared_weights(workdir / "weights.pth", seed=seed)
+    ref = run_reference_pipeline(workdir / "ref", pkl, ckpt, finite_deltas,
+                                 iters, scaling)
+    ours = run_our_pipeline(workdir / "ours", pkl, ckpt, finite_deltas,
+                            iters, scaling)
+    return compare(ref, ours)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/tapvid_parity")
+    ap.add_argument("--out", default=None, help="write markdown report here")
+    ap.add_argument("--frames", type=int, default=6)
+    ap.add_argument("--size", type=int, nargs=2, default=[128, 128])
+    args = ap.parse_args()
+    report, worst = run_parity(args.workdir, T=args.frames,
+                               H=args.size[0], W=args.size[1])
+    print(report)
+    print(f"\nmax |diff| over headline metrics: {worst:.2f} (x100 scale)")
+    if args.out:
+        header = (
+            "# TAP-Vid metric parity: reference (torch, CPU) vs mft-tpu\n\n"
+            "Both full pipelines (runner -> evaluator) on the same synthetic\n"
+            "TAP-Vid-DAVIS pickle with shared random-init RAFT-OU weights\n"
+            "(see tools/tapvid_parity.py; regression-tested by\n"
+            "tests/test_tapvid_metric_parity.py).\n\n")
+        Path(args.out).write_text(header + report +
+                                  f"\n\nmax |diff|: {worst:.2f} (x100)\n")
+
+
+if __name__ == "__main__":
+    main()
