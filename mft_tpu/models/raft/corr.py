@@ -205,12 +205,58 @@ def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4,
     """
     B, H, W, _ = coords.shape
     c = coords.reshape(B, H * W, 2)
+    if isinstance(pyramid, tuple) and pyramid[0] == "t":
+        from mft_tpu.ops.corr_lookup_pallas import corr_lookup_pallas_t, _tile_p
+        pyr_t = pyramid[1]
+        if out_dtype is None:
+            out_dtype = pyr_t[0].dtype
+        if _tile_p(H * W, 256) >= 128 and jax.default_backend() == "tpu":
+            out = corr_lookup_pallas_t(pyr_t, c, radius, tile_p=256)
+        else:
+            # small shapes (model-init probes, tests) / CPU: transpose back
+            # to pixel-major and use the exact mxu tent-matmul path
+            out = _mxu_all_levels([jnp.moveaxis(l, 3, 1) for l in pyr_t],
+                                  c, radius, out_dtype)
+        return out.reshape(B, H, W, -1).astype(out_dtype)
+    if isinstance(pyramid, tuple) and pyramid[0] == "win":
+        from mft_tpu.ops.alt_corr_pallas import corr_lookup_win
+        _, f1_flat, f2_slabs = pyramid
+        if out_dtype is None:
+            out_dtype = f1_flat.dtype
+        if H * W >= 1024 or jax.default_backend() != "tpu":
+            out = corr_lookup_win(f1_flat, f2_slabs, c, radius)
+        else:
+            # tiny init-probe shapes: reconstruct the volume and use mxu
+            scale = 1.0 / jnp.sqrt(jnp.float32(f1_flat.shape[-1]))
+            vol = []
+            for packed, (h, w, fold) in f2_slabs:
+                Bp, hp, C, fw = packed.shape
+                f2 = (packed.reshape(Bp, hp, C, fold, w)
+                      .transpose(0, 1, 3, 4, 2).reshape(Bp, h * w, C))
+                vol.append((jnp.einsum(
+                    "bpc,bqc->bpq", f1_flat.astype(jnp.float32),
+                    f2.astype(jnp.float32)) * scale).reshape(B, H * W, h, w))
+            out = _mxu_all_levels(vol, c, radius, jnp.float32)
+        return out.reshape(B, H, W, -1).astype(out_dtype)
     if isinstance(pyramid, tuple) and pyramid[0] == "alt":
         from mft_tpu.ops.alt_corr_pallas import corr_lookup_alt
         _, f1_flat, f2_pyr = pyramid
         if out_dtype is None:
             out_dtype = f1_flat.dtype
-        out = corr_lookup_alt(f1_flat, f2_pyr, c, radius)
+        if H * W >= 1024 or jax.default_backend() != "tpu":
+            out = corr_lookup_alt(f1_flat, f2_pyr, c, radius)
+        else:
+            # tiny shapes (model-init probes) trip a Mosaic lowering bug in
+            # the alt kernel's small dot; materialize the mini-volume from
+            # the features and use the exact mxu path instead
+            scale = 1.0 / jnp.sqrt(jnp.float32(f1_flat.shape[-1]))
+            vol = [
+                (jnp.einsum("bpc,bqc->bpq", f1_flat.astype(jnp.float32),
+                            f2.astype(jnp.float32)) * scale
+                 ).reshape(B, H * W, h, w)
+                for f2, (h, w) in f2_pyr
+            ]
+            out = _mxu_all_levels(vol, c, radius, jnp.float32)
         return out.reshape(B, H, W, -1).astype(out_dtype)
     if out_dtype is None:
         out_dtype = pyramid[0].dtype

@@ -188,8 +188,8 @@ class RAFT(nn.Module):
         H, W = H8 * 8, W8 * 8
 
         lookup_method = cfg.corr_method
-        if cfg.corr_method == "alt" and self.train_mode:
-            # the alt on-the-fly kernel has no VJP — train with the
+        if cfg.corr_method in ("alt", "win", "pallas_t") and self.train_mode:
+            # the alt/win/lane-major kernels have no VJP — train with the
             # materialized pyramid and the differentiable standard lookup
             lookup_method = "auto"
         if lookup_method == "alt":
@@ -206,6 +206,29 @@ class RAFT(nn.Module):
             pyramid = ("alt", f1.reshape(B, H8 * W8, -1),
                        build_feature_pyramid(f2, cfg.corr_levels,
                                              dtype=cfg.dtype))
+        elif lookup_method == "win":
+            # windowed on-the-fly lookup: no volume anywhere — per pixel
+            # tile only a dynamic row window of the correlation map is
+            # recomputed from VMEM-resident features every iteration
+            # (ops/alt_corr_pallas.py corr_lookup_win)
+            from mft_tpu.ops.alt_corr_pallas import build_feature_pyramid_slab
+            f1 = fmap1
+            f2 = fmap2
+            if cfg.normalized_features:
+                norm = lambda f: f / jnp.linalg.norm(
+                    f.astype(jnp.float32), axis=-1, keepdims=True).astype(f.dtype)
+                f1, f2 = norm(f1), norm(f2)
+            pyramid = ("win", f1.reshape(B, H8 * W8, -1),
+                       build_feature_pyramid_slab(f2, cfg.corr_levels,
+                                                  dtype=cfg.dtype))
+        elif lookup_method == "pallas_t":
+            # lane-major volume layout (source pixels on lanes): the lookup
+            # kernel contracts with full-lane-width VPU FMAs instead of
+            # per-pixel MXU dots (ops/corr_lookup_pallas.py layout B)
+            from mft_tpu.ops.corr_lookup_pallas import build_corr_pyramid_t
+            pyramid = ("t", build_corr_pyramid_t(
+                fmap1, fmap2, cfg.corr_levels, cfg.normalized_features,
+                dtype=cfg.dtype))
         else:
             pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels,
                                          cfg.normalized_features,

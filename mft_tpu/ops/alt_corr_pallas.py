@@ -167,66 +167,66 @@ def build_feature_pyramid_slab(fmap2, num_levels: int = 4,
 
 def _win_kernel(coords_ref, f1_ref, *rest, radius: int, tile_p: int,
                 dims, ywins, inv_sqrt_c: float):
-    f2_refs, out_ref = rest[:-1], rest[-1]
+    L = len(dims)
+    # pallas arg order: inputs..., outputs..., scratch...
+    f2_refs, out_ref, t_ref = rest[:L], rest[L], rest[L + 1]
     n = 2 * radius + 1
-    f1 = f1_ref[0]                                   # (TILE_P, C)
     c = coords_ref[0]                                # (TILE_P, 2)
     cx = c[:, 0]
     cy = c[:, 1]
-    f1b = f1.astype(jnp.bfloat16)
+    f1b = f1_ref[0]        # (TILE_P, C), already in the slabs' dtype
 
     for lvl, f2_ref in enumerate(f2_refs):
         h, w, fold = dims[lvl]
         inv = 1.0 / (2.0 ** lvl)
         sx = (cx * inv)[:, None]                     # (TILE_P, 1)
-        sy = (cy * inv)[:, None]
+        sy = cy * inv                                # (TILE_P,)
         ywin = ywins[lvl]
         base = lvl * n * n
 
-        def level(slab_rows, row0, k):
-            """slab_rows: packed ref slice (k/fold, C, fold*w), first image
-            row `row0`."""
-            t = [jnp.zeros((tile_p, w), jnp.float32) for _ in range(n)]
-            for yp in range(k // fold):
-                g = jax.lax.dot_general(
-                    f1b, slab_rows[yp].astype(jnp.bfloat16),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32) * inv_sqrt_c
-                for half in range(fold):             # (TILE_P, fold*w)
-                    row = g[:, half * w:(half + 1) * w]
-                    d = sy[:, 0] - (row0.astype(jnp.float32)
-                                    + (yp * fold + half))
-                    for j in range(n):
-                        wj = jnp.maximum(0.0,
-                                         1.0 - jnp.abs(d + (j - radius)))
-                        t[j] = t[j] + row * wj[:, None]
-            xx = jax.lax.broadcasted_iota(
-                jnp.int32, (tile_p, w), 1).astype(jnp.float32)
-            for i in range(n):
-                wi = jnp.maximum(0.0, 1.0 - jnp.abs(sx + (i - radius) - xx))
-                for j in range(n):
-                    out_ref[0, :, base + i * n + j] = jnp.sum(t[j] * wi,
-                                                              axis=1)
-
-        if ywin >= h or ywin % fold:
-            level(f2_ref[0], jnp.int32(0), h)
-        else:
-            # the lookup samples a +-radius window around each coordinate,
-            # so the slab must span [y_lo - radius - 1, y_hi + radius + 1]
+        # dynamic row window [y0, y0+ywin): an 8-aligned slab covering the
+        # tile's +-radius sample rows; tiles whose spread exceeds the window
+        # fall back to all rows — same fori_loop, traced bounds
+        if ywin < h and ywin % fold == 0:
             y_lo = jnp.min(sy) - (radius + 1.0)
-            y_hi = jnp.max(sy) + radius
-            y0f = jnp.clip(jnp.floor(y_lo / 8.0) * 8.0, 0.0,
-                           float(h - ywin))
-            y_fits = y_hi <= y0f + (ywin - 1)
-            y0 = pl.multiple_of(y0f.astype(jnp.int32), 8)
+            y_hi = jnp.max(sy) + radius + 1.0
+            y0f = jnp.clip(jnp.floor(y_lo / 8.0) * 8.0, 0.0, float(h - ywin))
+            fits = y_hi <= y0f + (ywin - 1)
+            y0p = jnp.where(fits, y0f.astype(jnp.int32) // fold, 0)
+            count = jnp.where(fits, ywin // fold, h // fold)
+        else:
+            y0p = jnp.int32(0)
+            count = jnp.int32(h // fold)
 
-            @pl.when(y_fits)
-            def _():
-                level(f2_ref[0, pl.ds(y0 // fold, ywin // fold)], y0, ywin)
+        for j in range(n):
+            t_ref[j, :, :w] = jnp.zeros((tile_p, w), jnp.float32)
 
-            @pl.when(jnp.logical_not(y_fits))
-            def _():
-                level(f2_ref[0], jnp.int32(0), h)
+        def body(i, carry):
+            yp = y0p + i
+            # slab row (C, fold*w): correlation of the tile's pixels against
+            # `fold` packed image rows, recomputed on the MXU
+            g = jax.lax.dot_general(
+                f1b, f2_ref[0, yp],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * inv_sqrt_c
+            yfp = yp.astype(jnp.float32) * fold
+            for half in range(fold):
+                row = g[:, half * w:(half + 1) * w]  # (TILE_P, w)
+                d = sy - (yfp + half)
+                for j in range(n):
+                    wj = jnp.maximum(0.0, 1.0 - jnp.abs(d + (j - radius)))
+                    t_ref[j, :, :w] += row * wj[:, None]
+            return carry
+
+        jax.lax.fori_loop(0, count, body, 0)
+
+        xx = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_p, w), 1).astype(jnp.float32)
+        for i in range(n):
+            wi = jnp.maximum(0.0, 1.0 - jnp.abs(sx + (i - radius) - xx))
+            for j in range(n):
+                out_ref[0, :, base + i * n + j] = jnp.sum(
+                    t_ref[j, :, :w] * wi, axis=1)
 
 
 def corr_lookup_win(fmap1_flat, f2_slabs, coords, radius: int = 4,
@@ -237,13 +237,10 @@ def corr_lookup_win(fmap1_flat, f2_slabs, coords, radius: int = 4,
     dynamic row window of its correlation map (GRU correspondence
     coordinates are spatially local for all but the wildest motions), so
     both the MXU dot and the tent contraction shrink ~4x; tiles with larger
-    spread fall back to the full rows. Exact same math either way.
-
-    STATUS: experimental. Correct (see tests), but on v5e the unrolled
-    fallback branch exhausts Mosaic's scoped-VMEM stack above tile_p=32 and
-    small tiles are grid-overhead-bound — the materialized-volume kernel
-    (corr_lookup_pallas) remains the production default. Kept as the
-    starting point for a fori_loop-based rewrite.
+    spread fall back to the full rows (same fori_loop with traced bounds —
+    exact same math either way). The row loop is a fori_loop accumulating
+    into a VMEM scratch, keeping kernel code size independent of h (the
+    statically-unrolled predecessor exhausted Mosaic's scoped VMEM).
 
     args:
       fmap1_flat: (B, P, C) source features.
@@ -259,6 +256,7 @@ def corr_lookup_win(fmap1_flat, f2_slabs, coords, radius: int = 4,
         raise ValueError(f"P={P} has no power-of-two tiling")
     dims = tuple(hwf for _, hwf in f2_slabs)
     ywins = tuple(max(16, h // 4) for (h, w, fold) in dims)
+    max_w = max(w for (_, w, _) in dims)
 
     in_specs = [
         pl.BlockSpec((1, tp, 2), lambda b, t: (b, t, 0),
@@ -281,6 +279,7 @@ def corr_lookup_win(fmap1_flat, f2_slabs, coords, radius: int = 4,
         out_specs=pl.BlockSpec((1, tp, L * n * n), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, P, L * n * n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n, tp, max_w), jnp.float32)],
         interpret=_interpret(),
     )(coords.astype(jnp.float32), fmap1_flat.astype(f2_slabs[0][0].dtype),
       *[packed for packed, _ in f2_slabs])

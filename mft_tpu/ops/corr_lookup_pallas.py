@@ -196,24 +196,27 @@ def build_corr_pyramid_t(fmap1, fmap2, num_levels: int = 4,
     """
     B, H, W, C = fmap1.shape
     f1 = fmap1.reshape(B, H * W, C).astype(dtype)
-    f2 = fmap2.reshape(B, H * W, C).astype(dtype)
+    f2 = fmap2.astype(dtype)
     if normalized_features:
         f1 = f1 / jnp.linalg.norm(f1.astype(jnp.float32), axis=-1,
                                   keepdims=True).astype(dtype)
         f2 = f2 / jnp.linalg.norm(f2.astype(jnp.float32), axis=-1,
                                   keepdims=True).astype(dtype)
-    corr = jnp.einsum("bqc,bpc->bqp", f2, f1,
-                      preferred_element_type=jnp.float32)
-    corr = (corr / jnp.sqrt(jnp.float32(C))).astype(dtype)
-    corr = corr.reshape(B, H, W, H * W)       # (B, y, x, P)
-    pyramid = [corr]
-    for _ in range(num_levels - 1):
-        h, w = corr.shape[1:3]
-        c = corr[:, : h - h % 2, : w - w % 2]
-        s = c.shape
-        c = c.reshape(B, s[1] // 2, 2, s[2] // 2, 2, s[3])
-        corr = c.mean(axis=(2, 4))
-        pyramid.append(corr)
+    # pool FEATURES, not volumes (dot products are linear — bit-equivalent
+    # to pooling the (B, y, x, P) volume incl. floor/VALID truncation, and
+    # ~10x less HBM traffic; same trick as build_corr_pyramid)
+    scale = 1.0 / jnp.sqrt(jnp.float32(C))
+    pyramid = []
+    h, w = H, W
+    for lvl in range(num_levels):
+        if lvl > 0:
+            f2c = f2[:, : h - h % 2, : w - w % 2]
+            s = f2c.shape
+            f2 = f2c.reshape(B, s[1] // 2, 2, s[2] // 2, 2, C).mean(axis=(2, 4))
+            h, w = f2.shape[1], f2.shape[2]
+        corr_l = jnp.einsum("bqc,bpc->bqp", f2.reshape(B, h * w, C), f1,
+                            preferred_element_type=jnp.float32)
+        pyramid.append((corr_l * scale).astype(dtype).reshape(B, h, w, H * W))
     return pyramid
 
 
