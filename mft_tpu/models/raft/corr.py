@@ -148,8 +148,8 @@ def _lookup_level_mxu(corr_l: jnp.ndarray, coords: jnp.ndarray, radius: int):
     return s.reshape(B, P, n * n)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _corr_lookup_pallas_ad(pyramid, coords, radius, tile_p):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _corr_lookup_pallas_ad(pyramid, coords, radius, tile_p, ywin=0):
     """Pallas lookup with a differentiable backward.
 
     pallas_call has no VJP; the backward differentiates the mathematically
@@ -159,7 +159,8 @@ def _corr_lookup_pallas_ad(pyramid, coords, radius, tile_p):
     works with the fast kernel on the forward pass.
     """
     from mft_tpu.ops.corr_lookup_pallas import corr_lookup_pallas
-    return corr_lookup_pallas(list(pyramid), coords, radius, tile_p=tile_p)
+    return corr_lookup_pallas(list(pyramid), coords, radius, tile_p=tile_p,
+                              ywin=ywin)
 
 
 def _mxu_all_levels(pyramid, coords, radius, out_dtype):
@@ -170,12 +171,12 @@ def _mxu_all_levels(pyramid, coords, radius, out_dtype):
     return jnp.concatenate(outs, axis=-1).astype(out_dtype)
 
 
-def _corr_lookup_ad_fwd(pyramid, coords, radius, tile_p):
-    out = _corr_lookup_pallas_ad(pyramid, coords, radius, tile_p)
+def _corr_lookup_ad_fwd(pyramid, coords, radius, tile_p, ywin=0):
+    out = _corr_lookup_pallas_ad(pyramid, coords, radius, tile_p, ywin)
     return out, (pyramid, coords)
 
 
-def _corr_lookup_ad_bwd(radius, tile_p, res, g):
+def _corr_lookup_ad_bwd(radius, tile_p, ywin, res, g):
     pyramid, coords = res
     _, vjp = jax.vjp(
         lambda pyr, c: _mxu_all_levels(pyr, c, radius, pyr[0].dtype),
@@ -266,7 +267,10 @@ def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4,
         # f32 blocks need smaller tiles to fit double-buffered VMEM
         cap = 128 if pyramid[0].dtype == jnp.bfloat16 else 64
         if use_pallas and _tile_p(H * W, cap) >= 8:
-            out = _corr_lookup_pallas_ad(tuple(pyramid), c, radius, cap)
+            # ywin row-windowing measured slightly WORSE in the full graph
+            # (15.95 vs 16.64 FPS) — the kernel is not contraction-bound;
+            # keep it available but off
+            out = _corr_lookup_pallas_ad(tuple(pyramid), c, radius, cap, 0)
             return out.reshape(B, H, W, -1).astype(out_dtype)
         method = "mxu"
     lookup = _lookup_level_mxu if method == "mxu" else _lookup_level

@@ -45,6 +45,7 @@ class RAFTParams:
     normalized_features: bool = False
     corr_method: str = "auto"  # 'auto'|'pallas'|'mxu'|'gather' (corr.py)
     compute_dtype: str = "float32"  # 'bfloat16' for mixed-precision inference
+    conv_backend: str = "auto"  # 'auto'|'conv'|'matmul' (update.py conv_apply)
     relu_uncertainty: bool = False
     ou_last_iter_only: bool = False
     dropout: float = 0.0
@@ -73,6 +74,17 @@ class RAFTParams:
     @property
     def dtype(self):
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+    @property
+    def use_matmul_convs(self) -> bool:
+        """Update-block convs as shifted MXU matmuls (update.py conv_apply).
+
+        'auto' enables it on TPU only: ~20% faster there (A/B-measured),
+        pointless relayout churn on CPU. Accumulation-order-level numerics
+        difference vs the conv lowering (both are valid float evaluations)."""
+        if self.conv_backend == "auto":
+            return jax.default_backend() == "tpu"
+        return self.conv_backend == "matmul"
 
     @property
     def effective_corr_radius(self) -> int:
@@ -133,7 +145,8 @@ class RAFT(nn.Module):
                 hidden_dim=self.cfg.hidden_dim, dtype=dt)
         else:
             self.update_block = BasicUpdateBlock(
-                hidden_dim=self.cfg.hidden_dim, dtype=dt)
+                hidden_dim=self.cfg.hidden_dim, dtype=dt,
+                matmul=self.cfg.use_matmul_convs)
         if self.cfg.occlusion_estimation:
             self.occlusion_block = OcclusionAndUncertaintyBlock(
                 architecture=self.cfg.ou_architecture, dtype=dt)

@@ -52,6 +52,7 @@ def raft_params_from_config(raft_kwargs) -> RAFTParams:
         relu_uncertainty=bool(get("relu_uncertainty", False)),
         corr_method=str(get("corr_method", "auto")),
         compute_dtype=str(get("compute_dtype", "float32")),
+        conv_backend=str(get("conv_backend", "auto")),
         ou_last_iter_only=bool(get("OU_last_iter_only", False)),
     )
 
@@ -135,10 +136,22 @@ class RAFTFlow:
         see RAFT.encode."""
         (pt, pb), (pl, pr) = pad_to_8(H, W)
         model = self.model
+        # grouped-conv fused fnet+cnet pass (encoder_fuse.py): bit-exact,
+        # but feature_group_count=2 lowers ~3ms/frame SLOWER than two
+        # separate stacks on the v5e (full-bench 13.6 vs 16.6 FPS) — XLA's
+        # grouped-conv lowering is the bottleneck. Disabled; kept for
+        # toolchains with native grouped-conv support.
+        use_fused = bool(getattr(self.C, "fused_encoder", False)
+                         and not self.cfg.small
+                         and "batch_stats" in self.variables)
+        dtype = self.cfg.dtype
 
         def enc(variables, images, with_context=True):
             pad = ((0, 0), (pt, pb), (pl, pr), (0, 0))
             x = jnp.pad(images, pad, mode="edge")
+            if with_context and use_fused:
+                from mft_tpu.models.raft.encoder_fuse import fused_basic_encode
+                return fused_basic_encode(variables, x, dtype=dtype)
             return model.apply(
                 variables, x,
                 method=lambda m, im: m.encode(im, with_context=with_context))

@@ -45,53 +45,82 @@ def _tile_p(P: int, cap: int = 256) -> int:
 # --------------------------------------------------------------------------- #
 # layout A: (B, P, h, w) pixel-major blocks, batched MXU dots
 # --------------------------------------------------------------------------- #
-def _kernel_pixel_major(coords_ref, *rest, radius: int, tile_p: int):
+def _kernel_pixel_major(coords_ref, *rest, radius: int, tile_p: int,
+                        ywin: int = 0):
     n = 2 * radius + 1
     corr_refs, out_ref = rest[:-1], rest[-1]
     c = coords_ref[0]                     # (TILE_P, 2) f32, level-0 scale
     cx = c[:, 0][:, None, None]           # (TILE_P, 1, 1)
     cy = c[:, 1][:, None, None]
 
-    outs = []
     for lvl, ref in enumerate(corr_refs):
-        corr = ref[0]                     # (TILE_P, h, w)
-        _, h, w = corr.shape
-        dt = corr.dtype
+        h, w = ref.shape[2], ref.shape[3]
+        dt = ref.dtype
         inv = 1.0 / (2.0 ** lvl)
-
-        ky = jax.lax.broadcasted_iota(jnp.int32, (tile_p, n, h), 1).astype(jnp.float32) - radius
-        yy = jax.lax.broadcasted_iota(jnp.int32, (tile_p, n, h), 2).astype(jnp.float32)
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(cy * inv + ky - yy)).astype(dt)
+        base = lvl * n * n
 
         kx = jax.lax.broadcasted_iota(jnp.int32, (tile_p, n, w), 1).astype(jnp.float32) - radius
         xx = jax.lax.broadcasted_iota(jnp.int32, (tile_p, n, w), 2).astype(jnp.float32)
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(cx * inv + kx - xx)).astype(dt)
 
-        # T[p, j, x] = sum_y Wy[p, j, y] corr[p, y, x]      (batched MXU dot)
-        t = jax.lax.dot_general(
-            wy, corr,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(dt)
-        # S[p, i, j] = sum_x Wx[p, i, x] T[p, j, x]
-        s = jax.lax.dot_general(
-            wx, t,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        # (tp, n, n) -> (tp, n*n) written as n static column-slices
-        # (Mosaic supports neither the relayouting reshape nor a wide
-        # lane-concatenate of 9-wide vectors)
-        base = lvl * n * n
-        for i in range(n):
-            out_ref[0, :, base + i * n: base + (i + 1) * n] = (
-                s[:, i, :].astype(out_ref.dtype))
+        def contract(corr, row0, k):
+            """Tent-contract (TILE_P, k, w) rows starting at map row row0."""
+            ky = jax.lax.broadcasted_iota(
+                jnp.int32, (tile_p, n, k), 1).astype(jnp.float32) - radius
+            yy = row0 + jax.lax.broadcasted_iota(
+                jnp.int32, (tile_p, n, k), 2).astype(jnp.float32)
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(cy * inv + ky - yy)).astype(dt)
+            # T[p, j, x] = sum_y Wy[p, j, y] corr[p, y, x]  (batched MXU dot)
+            t = jax.lax.dot_general(
+                wy, corr,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).astype(dt)
+            # S[p, i, j] = sum_x Wx[p, i, x] T[p, j, x]
+            s = jax.lax.dot_general(
+                wx, t,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            # (tp, n, n) -> (tp, n*n) written as n static column-slices
+            # (Mosaic supports neither the relayouting reshape nor a wide
+            # lane-concatenate of 9-wide vectors)
+            for i in range(n):
+                out_ref[0, :, base + i * n: base + (i + 1) * n] = (
+                    s[:, i, :].astype(out_ref.dtype))
+
+        if ywin and ywin < h:
+            # dynamic row window: pixel tiles are raster-contiguous, so for
+            # smooth correspondence fields the sampled rows span a narrow
+            # 8-aligned slab — contract only it (4x less MXU work on the
+            # big levels); wild tiles fall back to all rows (exact)
+            sy = cy[:, :, 0] * inv                       # (TILE_P, 1)
+            y_lo = jnp.min(sy) - (radius + 1.0)
+            y_hi = jnp.max(sy) + radius + 1.0
+            y0f = jnp.clip(jnp.floor(y_lo / 8.0) * 8.0, 0.0, float(h - ywin))
+            fits = y_hi <= y0f + (ywin - 1)
+            y0 = pl.multiple_of(y0f.astype(jnp.int32), 8)
+
+            @pl.when(fits)
+            def _():
+                contract(ref[0, :, pl.ds(y0, ywin), :],
+                         y0.astype(jnp.float32), ywin)
+
+            @pl.when(jnp.logical_not(fits))
+            def _():
+                contract(ref[0], 0.0, h)
+        else:
+            contract(ref[0], 0.0, h)
 
 
-def corr_lookup_pallas(pyramid, coords, radius: int = 4, tile_p: int = 256):
+def corr_lookup_pallas(pyramid, coords, radius: int = 4, tile_p: int = 256,
+                       ywin: int = 0):
     """Fused pyramid lookup, pixel-major volume layout.
 
     args:
       pyramid: list of (B, P, h_l, w_l) arrays (f32 or bf16).
       coords: (B, P, 2) float32 (x, y) centers at level-0 scale.
+      ywin: if nonzero, levels taller than ywin rows contract only a dynamic
+        8-aligned ywin-row window per tile (falling back to all rows when a
+        tile's sample spread exceeds it — exact either way).
     returns:
       (B, P, L*(2r+1)^2) in the PYRAMID's dtype (f32 accumulation inside;
       a bf16 volume yields bf16 output — the consumers cast to the compute
@@ -118,7 +147,8 @@ def corr_lookup_pallas(pyramid, coords, radius: int = 4, tile_p: int = 256):
     out_spec = pl.BlockSpec((1, tp, L * n * n), lambda b, p: (b, p, 0),
                             memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_kernel_pixel_major, radius=radius, tile_p=tp)
+    kernel = functools.partial(_kernel_pixel_major, radius=radius, tile_p=tp,
+                               ywin=ywin)
     return pl.pallas_call(
         kernel,
         grid=grid,

@@ -149,3 +149,45 @@ def test_corr_lookup_pallas_is_differentiable(rng):
                                atol=1e-3, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(g2_p), np.asarray(g2_m),
                                atol=1e-3, rtol=1e-4)
+
+
+def test_conv_matmul_backend_matches_conv(rng):
+    """conv_apply matmul path == conv path (accumulation-order tolerance);
+    full BasicUpdateBlock with matmul convs matches the conv build."""
+    import jax
+    import jax.numpy as jnp
+    from mft_tpu.models.raft.update import BasicUpdateBlock, conv_apply
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 12, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 16, 24)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((24,)), jnp.float32)
+    pad = [(1, 1), (1, 1)]
+    y_conv = conv_apply(x, k, b, pad, jnp.float32, matmul=False)
+    y_mm = conv_apply(x, k, b, pad, jnp.float32, matmul=True)
+    np.testing.assert_allclose(np.asarray(y_mm), np.asarray(y_conv),
+                               rtol=1e-5, atol=1e-5)
+    # asymmetric kernels as used by the GRU
+    k15 = jnp.asarray(rng.standard_normal((1, 5, 16, 8)), jnp.float32)
+    b15 = jnp.asarray(rng.standard_normal((8,)), jnp.float32)
+    y1 = conv_apply(x, k15, b15, [(0, 0), (2, 2)], jnp.float32, False)
+    y2 = conv_apply(x, k15, b15, [(0, 0), (2, 2)], jnp.float32, True)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                               rtol=1e-5, atol=1e-5)
+
+    B, H8, W8 = 2, 8, 8
+    net = jnp.asarray(rng.standard_normal((B, H8, W8, 128)), jnp.float32)
+    inp = jnp.asarray(rng.standard_normal((B, H8, W8, 128)), jnp.float32)
+    corr = jnp.asarray(rng.standard_normal((B, H8, W8, 324)), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal((B, H8, W8, 2)), jnp.float32)
+    blk_c = BasicUpdateBlock(matmul=False)
+    blk_m = BasicUpdateBlock(matmul=True)
+    variables = blk_c.init(jax.random.PRNGKey(0), net, inp, corr, flow)
+    # identical param trees are valid for both builds (names unchanged)
+    out_c = blk_c.apply(variables, net, inp, corr, flow)
+    out_m = blk_m.apply(variables, net, inp, corr, flow)
+    for a, b_ in zip(out_c, out_m):
+        if a is None:
+            assert b_ is None
+            continue
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)
