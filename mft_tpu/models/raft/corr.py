@@ -206,6 +206,13 @@ def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4,
     """
     B, H, W, _ = coords.shape
     c = coords.reshape(B, H * W, 2)
+    if isinstance(pyramid, tuple) and pyramid[0] == "fold":
+        from mft_tpu.ops.corr_lookup_pallas import corr_lookup_pallas_folded
+        _, levels, ldims = pyramid
+        if out_dtype is None:
+            out_dtype = levels[0].dtype
+        out = corr_lookup_pallas_folded(levels, ldims, c, radius)
+        return out.reshape(B, H, W, -1).astype(out_dtype)
     if isinstance(pyramid, tuple) and pyramid[0] == "t":
         from mft_tpu.ops.corr_lookup_pallas import corr_lookup_pallas_t, _tile_p
         pyr_t = pyramid[1]

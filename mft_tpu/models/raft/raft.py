@@ -43,7 +43,7 @@ class RAFTParams:
     corr_levels: int = 4
     corr_radius: int = 4
     normalized_features: bool = False
-    corr_method: str = "auto"  # 'auto'|'pallas'|'mxu'|'gather' (corr.py)
+    corr_method: str = "auto"  # 'auto'|'pallas'|'mxu'|'gather'|'alt'|'win'|'pallas_t'|'fold'
     compute_dtype: str = "float32"  # 'bfloat16' for mixed-precision inference
     conv_backend: str = "auto"  # 'auto'|'conv'|'matmul' (update.py conv_apply)
     relu_uncertainty: bool = False
@@ -107,6 +107,19 @@ def initialize_coords(B: int, H8: int, W8: int):
     xg, yg = jnp.meshgrid(xs, ys)
     grid = jnp.stack([xg, yg], axis=-1)[None]  # (1, H8, W8, 2)
     return jnp.broadcast_to(grid, (B, H8, W8, 2))
+
+
+def _packable(H8: int, W8: int, num_levels: int) -> bool:
+    """True iff every pyramid level fits the packed flat-volume layout:
+    either the whole map fits one zero-padded 128-lane row, or whole image
+    rows pack evenly into 128-lane groups (128 % w == 0, h*w % 128 == 0)."""
+    h, w = H8, W8
+    for lvl in range(num_levels):
+        if lvl > 0:
+            h, w = h // 2, w // 2
+        if h * w > 128 and (128 % w != 0 or (h * w) % 128 != 0):
+            return False
+    return True
 
 
 class RAFT(nn.Module):
@@ -201,9 +214,9 @@ class RAFT(nn.Module):
         H, W = H8 * 8, W8 * 8
 
         lookup_method = cfg.corr_method
-        if cfg.corr_method in ("alt", "win", "pallas_t") and self.train_mode:
-            # the alt/win/lane-major kernels have no VJP — train with the
-            # materialized pyramid and the differentiable standard lookup
+        if cfg.corr_method in ("alt", "win", "pallas_t", "fold") and self.train_mode:
+            # the alt/win/lane-major/folded kernels have no VJP — train with
+            # the materialized pyramid and the differentiable standard lookup
             lookup_method = "auto"
         if lookup_method == "alt":
             # low-memory path (reference AlternateCorrBlock/alt_cuda_corr):
@@ -242,6 +255,22 @@ class RAFT(nn.Module):
             pyramid = ("t", build_corr_pyramid_t(
                 fmap1, fmap2, cfg.corr_levels, cfg.normalized_features,
                 dtype=cfg.dtype))
+        elif lookup_method == "fold":
+            # FOLDED fully-lane-packed volume (fold=128/w image rows per
+            # 128-lane row; ~2.8x less lookup DMA than the padded 4D
+            # layout).  NON-DEFAULT: benched 12.2 vs 16.7 FPS at 512px —
+            # the pixel-major lookup is DMA-overlapped enough that the
+            # extra per-level fold dots (19 vs 8 batched-dot issues per
+            # lookup) cost more than the DMA they save.  Kept as the
+            # starting point for a windowed-DMA variant.
+            if not _packable(H8, W8, cfg.corr_levels):
+                raise ValueError(
+                    f"corr_method='fold' needs packable dims, got {H8}x{W8}")
+            from mft_tpu.ops.corr_lookup_pallas import build_corr_pyramid_pallas
+            levels, dims = build_corr_pyramid_pallas(
+                fmap1, fmap2, cfg.corr_levels, cfg.normalized_features,
+                dtype=cfg.dtype)
+            pyramid = ("fold", levels, dims)
         else:
             pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels,
                                          cfg.normalized_features,

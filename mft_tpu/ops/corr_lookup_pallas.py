@@ -159,6 +159,279 @@ def corr_lookup_pallas(pyramid, coords, radius: int = 4, tile_p: int = 256,
     )(coords.astype(jnp.float32), *pyramid)
 
 
+def _kernel_folded(coords_ref, *rest, radius: int, tile_p: int, dims,
+                   ywin: int = 0):
+    """Pixel-major lookup over FOLDED fully-lane-packed volume levels.
+
+    The plain 4D (B, P, h, w) layout pads every w<128 map row to 128
+    lanes — at 512x512 the physical pyramid is ~880 MB/lookup instead of
+    the logical 313 MB, and the (DMA-bound) lookup kernel sits at that
+    padded-DMA floor (profiled).  The folded layout packs ``fold`` = 128/w
+    adjacent image rows into each 128-lane row: levels are (B, P, h/fold,
+    128) with lane = u*w + x for image row y = q*fold + u.  Blocks arrive
+    natively (sublane, lane)-tiled — no in-kernel reshape (an earlier flat
+    (B, P, h*w) variant needed a (tp, h*w)->(tp, hp, 128) view per level,
+    which Mosaic executes as a real VMEM relayout and benched at 11.7 vs
+    16.7 FPS).  The y tent-contraction runs as ``fold`` batched dots over
+    the packed rows — same total MACs as the padded pixel-major kernel's
+    single dot — one per row-within-group offset u, each result
+    contributing lanes [u*w:(u+1)*w].  Math identical to
+    _kernel_pixel_major / _lookup_level_mxu.
+
+    ``ywin`` (image rows, multiple of 8*fold) optionally contracts only a
+    dynamic row window around the sampled span, as _kernel_pixel_major.
+    """
+    n = 2 * radius + 1
+    corr_refs, out_ref = rest[:-1], rest[-1]
+    c = coords_ref[0]                     # (TILE_P, 2) f32, level-0 scale
+    cx = c[:, 0][:, None, None]           # (TILE_P, 1, 1)
+    cy = c[:, 1][:, None, None]
+
+    for lvl, ref in enumerate(corr_refs):
+        h, w = dims[lvl]
+        dt = ref.dtype
+        inv = 1.0 / (2.0 ** lvl)
+        base = lvl * n * n
+
+        kx = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_p, n, w), 1).astype(jnp.float32) - radius
+        xx = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_p, n, w), 2).astype(jnp.float32)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(cx * inv + kx - xx)).astype(dt)
+
+        def write_out(t, base=base, dt=dt, wx=wx):
+            # S[p, i, j] = sum_x Wx[p, i, x] T[p, j, x]; written as n static
+            # column-slices (Mosaic supports neither the relayouting
+            # reshape nor a wide lane-concatenate)
+            s = jax.lax.dot_general(
+                wx, t.astype(dt),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            for i in range(n):
+                out_ref[0, :, base + i * n: base + (i + 1) * n] = (
+                    s[:, i, :].astype(out_ref.dtype))
+
+        if h * w <= 128:
+            # whole (zero-padded) map is one packed row: weight every lane
+            # by its image row's tent and reduce lane groups to x columns
+            # with a static one-hot select matrix (Mosaic rejects both the
+            # (tp, 1, hw) view and sub-128-lane minor dims)
+            x2 = ref[0, :, 0, :]                          # (tp, 128)
+            hwp = x2.shape[-1]
+            ky2 = jax.lax.broadcasted_iota(
+                jnp.int32, (tile_p, n, hwp), 1).astype(jnp.float32) - radius
+            yy_l = (jax.lax.broadcasted_iota(
+                jnp.int32, (tile_p, n, hwp), 2) // w).astype(jnp.float32)
+            wfull = jnp.maximum(
+                0.0, 1.0 - jnp.abs(cy * inv + ky2 - yy_l)).astype(dt)
+            prod = wfull * x2[:, None, :]
+            xl = jax.lax.broadcasted_iota(jnp.int32, (hwp, w), 0) % w
+            xc = jax.lax.broadcasted_iota(jnp.int32, (hwp, w), 1)
+            sel = (xl == xc).astype(dt)                   # (hwp, w)
+            t = jax.lax.dot_general(
+                prod, sel,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            write_out(t)
+            continue
+
+        fold = 128 // w                   # image rows per packed row
+        h2 = h // fold                    # packed rows
+
+        def contract(x4, q0, nq, fold=fold, lvl=lvl, inv=inv, dt=dt,
+                     write_out=write_out, w=w):
+            """Tent-contract (tile_p, nq, 128) packed rows starting at
+            packed row q0 (absolute image row q0*fold)."""
+            ky = jax.lax.broadcasted_iota(
+                jnp.int32, (tile_p, n, nq), 1).astype(jnp.float32) - radius
+            qq = (q0.astype(jnp.float32) + jax.lax.broadcasted_iota(
+                jnp.int32, (tile_p, n, nq), 2).astype(jnp.float32)) * fold
+            t = None
+            for u in range(fold):
+                wy_u = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(cy * inv + ky - (qq + u))).astype(dt)
+                d = jax.lax.dot_general(
+                    wy_u, x4,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)      # (tp, n, 128)
+                part = d[:, :, u * w:(u + 1) * w]
+                t = part if t is None else t + part
+            write_out(t)
+
+        if ywin and ywin < h and ywin % fold == 0:
+            # dynamic packed-row window: pixel tiles are raster-contiguous,
+            # so for smooth correspondence fields the sampled rows span a
+            # narrow slab — contract only it; wild tiles fall back to all
+            # rows (exact).  q0 is kept 8-packed-row aligned for Mosaic.
+            qwin = ywin // fold
+            align = 8 * fold              # image rows per aligned q0 step
+            sy = cy[:, :, 0] * inv                       # (TILE_P, 1)
+            y_lo = jnp.min(sy) - (radius + 1.0)
+            y_hi = jnp.max(sy) + radius + 1.0
+            y0f = jnp.clip(jnp.floor(y_lo / align) * align, 0.0,
+                           float(h - ywin))
+            fits = y_hi <= y0f + (ywin - 1)
+            q0 = pl.multiple_of((y0f.astype(jnp.int32)) // fold, 8)
+
+            @pl.when(fits)
+            def _():
+                contract(ref[0, :, pl.ds(q0, qwin), :], q0, qwin)
+
+            @pl.when(jnp.logical_not(fits))
+            def _():
+                contract(ref[0], jnp.int32(0), h2)
+        else:
+            contract(ref[0], jnp.int32(0), h2)
+
+
+def corr_lookup_pallas_folded(pyramid_folded, dims, coords, radius: int = 4,
+                              tile_p: int = 128, ywin: int = 0):
+    """Lookup over folded (B, P, h/fold, 128) volume levels (_kernel_folded).
+
+    args:
+      pyramid_folded: list of (B, P, h2_l, 128) arrays
+        (build_corr_pyramid_pallas with folded=True).
+      dims: [(h_l, w_l)] logical per-level map sizes.
+      coords: (B, P, 2) float32 level-0 centers.
+      ywin: optional per-tile dynamic row window (image rows) on levels
+        where it divides cleanly; 0 disables.
+    returns: (B, P, L*(2r+1)^2) in the volume dtype.
+    """
+    B, P, _, _ = pyramid_folded[0].shape
+    n = 2 * radius + 1
+    L = len(pyramid_folded)
+    tp = _tile_p(P, tile_p)
+    if tp == 0:
+        raise ValueError(f"P={P} has no power-of-two tiling")
+    out_dtype = pyramid_folded[0].dtype
+
+    in_specs = [pl.BlockSpec((1, tp, 2), lambda b, p: (b, p, 0),
+                             memory_space=pltpu.VMEM)]
+    for lvl in range(L):
+        h2 = pyramid_folded[lvl].shape[2]
+        in_specs.append(pl.BlockSpec(
+            (1, tp, h2, 128), lambda b, p: (b, p, 0, 0),
+            memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((1, tp, L * n * n), lambda b, p: (b, p, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel_folded, radius=radius, tile_p=tp,
+                               dims=tuple(dims), ywin=ywin)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, P // tp),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, P, L * n * n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(coords.astype(jnp.float32), *pyramid_folded)
+
+
+def _build_kernel(f1_ref, *rest, dims, tile_p: int, inv_sqrt_c: float):
+    """Write all folded pyramid levels for one pixel tile.
+
+    Each MXU dot produces exactly one packed row: f2 arrives in flat
+    raster row order, so rows [q*128:(q+1)*128) of f2 are image rows
+    [q*fold:(q+1)*fold) — the (TILE_P, 128) result IS the folded lane
+    layout, written with zero data movement.  Small levels come in
+    zero-row-padded to 128 (zero features => zero correlation lanes).
+    """
+    L = len(dims)
+    f2_refs, out_refs = rest[:L], rest[L:]
+    f1 = f1_ref[0]                                   # (TILE_P, C)
+    for lvl, (f2_ref, out_ref) in enumerate(zip(f2_refs, out_refs)):
+        h2 = out_ref.shape[2]
+        f2 = f2_ref[0]                               # (h2*128, C)
+        for q in range(h2):
+            # f32 accumulation, scaled, cast to storage dtype — same
+            # numerics as the XLA einsum build (corr.py:72-74)
+            g = jax.lax.dot_general(
+                f1, f2[q * 128:(q + 1) * 128],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * inv_sqrt_c
+            out_ref[0, :, q, :] = g.astype(out_ref.dtype)
+
+
+def build_corr_pyramid_pallas(fmap1, fmap2, num_levels: int = 4,
+                              normalized_features: bool = False,
+                              dtype=jnp.float32, tile_p: int = 128):
+    """All-pairs correlation pyramid built INSIDE a Pallas kernel, in the
+    folded fully-lane-packed layout corr_lookup_pallas_folded reads.
+
+    Same math as models.raft.corr.build_corr_pyramid (pooled features,
+    1/sqrt(C) scale, f32 accumulation), but each (TILE_P, 128) MXU dot
+    result is written directly as one packed volume row — XLA's dot emits
+    the (B, P, q) result q-major and then pays a relayout copy per level
+    at 512x512 (profiled), and the 4D (B, P, h, w) layout additionally
+    pads w<128 rows to 128 lanes in HBM (~2.8x the lookup DMA).
+
+    returns: (levels, dims) — levels[l] is (B, P, h_l/fold_l, 128) in
+    ``dtype`` (lane = u*w + x, image row y = q*fold + u), dims[l] the
+    logical (h_l, w_l).  Requires 128 % w_l == 0 (or h_l*w_l <= 128) per
+    level — see models.raft.raft._packable.
+    """
+    B, H, W, C = fmap1.shape
+    P = H * W
+    f1 = fmap1.reshape(B, P, C).astype(dtype)
+    f2 = fmap2.astype(dtype)
+    if normalized_features:
+        f1 = f1 / jnp.linalg.norm(f1.astype(jnp.float32), axis=-1,
+                                  keepdims=True).astype(dtype)
+        f2 = f2 / jnp.linalg.norm(f2.astype(jnp.float32), axis=-1,
+                                  keepdims=True).astype(dtype)
+
+    # pool FEATURES per level (cheap; pooling commutes with the dot)
+    f2_levels = []
+    dims = []
+    cur = f2
+    h, w = H, W
+    for lvl in range(num_levels):
+        if lvl > 0:
+            c = cur[:, : h - h % 2, : w - w % 2]
+            s = c.shape
+            cur = c.reshape(B, s[1] // 2, 2, s[2] // 2, 2, C).mean(axis=(2, 4))
+            h, w = cur.shape[1], cur.shape[2]
+        flat = cur.reshape(B, h * w, C)
+        if h * w < 128:
+            # zero feature rows => zero correlation in the padding lanes
+            flat = jnp.pad(flat, ((0, 0), (0, 128 - h * w), (0, 0)))
+        f2_levels.append(flat)
+        dims.append((h, w))
+
+    tp = _tile_p(P, tile_p)
+    if tp < 8:
+        raise ValueError(f"P={P} has no power-of-two tiling")
+
+    in_specs = [pl.BlockSpec((1, tp, C), lambda b, t: (b, t, 0),
+                             memory_space=pltpu.VMEM)]
+    for f2l in f2_levels:
+        r = f2l.shape[1]
+        in_specs.append(pl.BlockSpec((1, r, C), lambda b, t: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    h2s = [f2l.shape[1] // 128 for f2l in f2_levels]
+    out_specs = [pl.BlockSpec((1, tp, h2, 128), lambda b, t: (b, t, 0, 0),
+                              memory_space=pltpu.VMEM) for h2 in h2s]
+    out_shapes = [jax.ShapeDtypeStruct((B, P, h2, 128), dtype) for h2 in h2s]
+
+    kernel = functools.partial(_build_kernel, dims=tuple(dims), tile_p=tp,
+                               inv_sqrt_c=float(C) ** -0.5)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, P // tp),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(f1, *f2_levels)
+    return list(out), dims
+
+
 # NOTE on manual-DMA row windowing: a chunked HBM->VMEM DMA variant of the
 # pixel-major kernel (skip volume row bands no pixel of the tile samples —
 # the role of the reference CUDA kernel's shared-memory staging) was built

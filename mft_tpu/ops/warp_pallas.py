@@ -202,6 +202,127 @@ def bilinear_warp_banded(maps, coords, band: int = 128, tile_p: int = 256):
     )(coords, maps2)
 
 
+def _tiled_kernel(sx_ref, sy_ref, maps_ref, *out_refs, C: int, BH: int,
+                  BW: int, ywin: int, xband: int, W: int):
+    """Native-tile warp: the grid walks (BH, BW)=(8,128) image blocks of the
+    raster coords/outputs directly (BlockSpec index maps), so NO host-side
+    raster<->block transposes exist. Each of the BH sub-rows runs one
+    (BW, ywin) x (ywin, C*XB) MXU dot against a dynamic 8-aligned row slab.
+    """
+    H = maps_ref.shape[1]
+    n_xb = W // xband
+    sx = sx_ref[0]                              # (BH, BW) f32, pre-snapped
+    sy = sy_ref[0]
+    x_lo = jnp.min(sx)
+    x_hi = jnp.max(sx)
+    y_lo = jnp.min(sy)
+    y_hi = jnp.max(sy)
+    # one (BH, BW) -> (BW, BH) relayout each; per-sub-row (BW, 1) columns
+    # then come from free static lane slices
+    sxT = sx.T
+    syT = sy.T
+
+    y0f = jnp.clip(jnp.floor((y_lo - 1.0) / 8.0) * 8.0, 0.0, float(H - ywin))
+    y_fits = y_hi <= y0f + (ywin - 1)
+    y0 = pl.multiple_of(y0f.astype(jnp.int32), 8)
+
+    for c in range(C):
+        out_refs[c][0] = jnp.zeros((BH, BW), jnp.float32)
+
+    xw = jax.lax.broadcasted_iota(jnp.int32, (BW, xband), 1).astype(jnp.float32)
+
+    def do_block(xb, rows, row0):
+        """rows: (K, C*XB) map slab, first absolute map row row0."""
+        k = rows.shape[0]
+        for r in range(BH):
+            sy_r = syT[:, r:r + 1]              # (BW, 1)
+            sx_r = sxT[:, r:r + 1]
+            yy = row0.astype(jnp.float32) + jax.lax.broadcasted_iota(
+                jnp.int32, (BW, k), 1).astype(jnp.float32)
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy_r - yy))
+            acc = jax.lax.dot_general(
+                wy.astype(jnp.bfloat16), rows.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (BW, C*XB)
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx_r - (xb * xband) - xw))
+            for c in range(C):
+                col = jnp.sum(acc[:, c * xband:(c + 1) * xband] * wx, axis=1)
+                out_refs[c][0, r, :] += col
+
+    for xb in range(n_xb):
+        x_touch = jnp.logical_and(x_hi > xb * xband - 1.0,
+                                  x_lo < (xb + 1) * xband)
+        lane0 = xb * C * xband
+
+        @pl.when(jnp.logical_and(x_touch, y_fits))
+        def _(xb=xb, lane0=lane0):
+            do_block(xb, maps_ref[0, pl.ds(y0, ywin), lane0:lane0 + C * xband],
+                     y0)
+
+        @pl.when(jnp.logical_and(x_touch, jnp.logical_not(y_fits)))
+        def _(xb=xb, lane0=lane0):
+            do_block(xb, maps_ref[0, :, lane0:lane0 + C * xband],
+                     jnp.int32(0))
+
+
+def bilinear_warp_tiled(maps, sx, sy, ywin: int = 128, xband: int = 128,
+                        block_hw=(8, 128)):
+    """Bilinear warp over native (8, 128) image tiles, no pixel reordering.
+
+    Drop-in replacement for bilinear_warp_blocked's role in chain+select:
+    instead of transposing coords into block order and the result back
+    (~2.9 ms/frame of pure relayout at 512x512, profiled), the BlockSpec
+    index maps walk 2D image tiles of the RASTER arrays directly — the
+    (8, 128) block is exactly one native TPU tile, so block reads/writes
+    are layout-free.
+
+    args:
+      maps: (N, H, W, C) source maps (sampled with zeros padding).
+      sx, sy: (N, H, W) float32 sample coordinates (align_corners pixel
+        convention; snapped to 1/256 inside).
+    returns:
+      list of C arrays (N, H, W) float32 — the sampled channels.
+    """
+    N, H, W, C = maps.shape
+    BH, BW = block_hw
+    if H % BH or W % BW or W % xband or H % ywin or H // ywin < 2:
+        out = bilinear_warp_blocked(
+            maps, jnp.stack([sx.reshape(N, -1), sy.reshape(N, -1)], -1))
+        return [out[..., c].reshape(N, H, W) for c in range(C)]
+    n_xb = W // xband
+    nwb = W // BW
+
+    # x-block-major channel grouping, as bilinear_warp_blocked
+    maps2 = (maps.reshape(N, H, n_xb, xband, C)
+             .transpose(0, 1, 2, 4, 3)
+             .reshape(N, H, n_xb * C * xband))
+    sx = _snap256(sx.astype(jnp.float32))
+    sy = _snap256(sy.astype(jnp.float32))
+
+    grid = (N, (H // BH) * nwb)
+    cblock = pl.BlockSpec((1, BH, BW),
+                          lambda n, t: (n, t // nwb, t % nwb),
+                          memory_space=pltpu.VMEM)
+    kernel = functools.partial(_tiled_kernel, C=C, BH=BH, BW=BW,
+                               ywin=ywin, xband=xband, W=W)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            cblock, cblock,
+            pl.BlockSpec((1, H, n_xb * C * xband), lambda n, t: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[cblock] * C,
+        out_shape=[jax.ShapeDtypeStruct((N, H, W), jnp.float32)] * C,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(sx, sy, maps2)
+    return list(outs)
+
+
 def split_hi_lo(x):
     """Split float32 values into two bfloat16 parts (x ~= hi + lo).
 

@@ -137,9 +137,7 @@ class MFT:
             # mean 1 fnet + 1 cnet pass per frame instead of 14 + 7
             if self.flow_cache is not None:
                 return self._track_fused_cached(img, cands, t)
-            slots = jnp.asarray([c.slot for c in cands], jnp.int32)
-            valid = jnp.asarray([c.valid for c in cands], bool)
-            wslot = jnp.int32(t % self.ring)
+            slots, valid, wslot = self._step_indices(cands, t)
             step = self._get_fused_frame()
             (self.mem_imgs, self.mem_flow, self.mem_occl, self.mem_sigma,
              self.mem_fmap, self.mem_cnet,
@@ -157,9 +155,7 @@ class MFT:
             jax.block_until_ready(flows)
         flow_timer.stop()
 
-        slots = jnp.asarray([c.slot for c in cands], jnp.int32)
-        valid = jnp.asarray([c.valid for c in cands], bool)
-        wslot = jnp.int32(t % self.ring)
+        slots, valid, wslot = self._step_indices(cands, t)
 
         sel_timer = general_time_measurer("selection", active=timers_on,
                                           start_now=True)
@@ -178,6 +174,24 @@ class MFT:
         meta = SimpleNamespace()
         meta.result = result
         return meta
+
+    def _step_indices(self, cands, t):
+        """Device arrays (slots, valid, wslot) for the frame step, cached.
+
+        The pattern is periodic in t (period = ring size in steady state),
+        so after the first cycle no host->device index uploads happen —
+        through a remote device tunnel each tiny upload costs real latency.
+        """
+        key = (tuple(c.slot for c in cands), tuple(c.valid for c in cands),
+               t % self.ring)
+        cache = getattr(self, "_idx_cache", None)
+        if cache is None:
+            cache = self._idx_cache = {}
+        if key not in cache:
+            cache[key] = (jnp.asarray(key[0], jnp.int32),
+                          jnp.asarray(key[1], bool),
+                          jnp.int32(key[2]))
+        return cache[key]
 
     # ------------------------------------------------------------------ #
     def is_before_start(self, frame_i):
@@ -274,9 +288,7 @@ class MFT:
                         if c.valid and np.isfinite(c.delta)]
         all_finite_hit = all(i in cached for i in finite_valid)
 
-        slots = jnp.asarray([c.slot for c in cands], jnp.int32)
-        valid = jnp.asarray([c.valid for c in cands], bool)
-        wslot = jnp.int32(t % self.ring)
+        slots, valid, wslot = self._step_indices(cands, t)
 
         if not all_finite_hit:
             # full-batch compute (computed values win over stale hits, same

@@ -141,7 +141,8 @@ def train(args):
                               train_bn=not args.freeze_features_training)
 
     from mft_tpu.train.datasets import fetch_dataset, BatchLoader
-    dataset = fetch_dataset(args.stage, args.image_size)
+    dataset = fetch_dataset(args.stage, args.image_size,
+                            dashcam_augmentation=args.dashcam_augmenentation)
     loader = BatchLoader(dataset, args.batch_size, num_workers=args.num_workers)
 
     from mft_tpu.train.checkpoint import save_checkpoint, export_weights
@@ -197,6 +198,9 @@ def get_parser():
     parser.add_argument("--uncertainty_loss", default="huber_non_occluded")
     parser.add_argument("--optical_flow_loss", default="L1")
     parser.add_argument("--weighting_unc_loss", action="store_true")
+    # jpeg-corruption augmentation at p=0.5 (reference train.py:525 — the
+    # reference's flag spelling, typo included, for @file compatibility)
+    parser.add_argument("--dashcam_augmenentation", action="store_true")
     parser.add_argument("--restore_ckpt", default=None)
     parser.add_argument("--num_steps", type=int, default=50000)
     parser.add_argument("--batch_size", type=int, default=6)

@@ -214,3 +214,55 @@ def test_corr_lookup_win_matches_gather(rng):
                               tile_p=64)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-2, rtol=1e-2, err_msg=name)
+
+
+@pytest.mark.slow
+def test_bilinear_warp_tiled_matches_blocked(rng):
+    """The native-tile warp (no host-side reordering) must agree with the
+    block-transposing kernel at a production-like 256^2 shape."""
+    from mft_tpu.ops.warp_pallas import bilinear_warp_blocked, bilinear_warp_tiled
+
+    N, H, W, C = 2, 256, 256, 6
+    maps = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.bfloat16)
+    gy, gx = np.mgrid[0:H, 0:W].astype(np.float32)
+    flow = np.stack([11.0 * np.sin(gy / 23.0), 7.0 * np.cos(gx / 17.0)], -1)
+    sx = jnp.asarray(np.broadcast_to(gx + flow[..., 0], (N, H, W)).copy())
+    sy = jnp.asarray(np.broadcast_to(gy + flow[..., 1], (N, H, W)).copy())
+    # include some wild rows to hit the fallback branch
+    sx = sx.at[:, :8].set(jnp.asarray(rng.uniform(0, W - 1, (N, 8, W)), jnp.float32))
+    sy = sy.at[:, :8].set(jnp.asarray(rng.uniform(0, H - 1, (N, 8, W)), jnp.float32))
+
+    coords = jnp.stack([sx.reshape(N, -1), sy.reshape(N, -1)], axis=-1)
+    ref = bilinear_warp_blocked(maps, coords)          # (N, P, C)
+    got = bilinear_warp_tiled(maps, sx, sy)            # C x (N, H, W)
+    for c in range(C):
+        np.testing.assert_allclose(
+            np.asarray(got[c]), np.asarray(ref[..., c].reshape(N, H, W)),
+            rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_folded_corr_build_and_lookup_matches_pallas(rng):
+    """The folded fully-lane-packed volume (build_corr_pyramid_pallas +
+    corr_lookup_pallas_folded, corr_method='fold') must agree with the
+    default pixel-major path on both fold-dot and whole-map-row levels."""
+    from mft_tpu.models.raft.corr import build_corr_pyramid, corr_lookup
+    from mft_tpu.ops.corr_lookup_pallas import build_corr_pyramid_pallas
+
+    B, H, W, C = 1, 32, 32, 64
+    f1 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    coords = jnp.asarray(rng.uniform(-2, 34, (B, H, W, 2)), jnp.float32)
+
+    for dtype in (jnp.float32, jnp.bfloat16):
+        pyr = build_corr_pyramid(f1, f2, 4, False, dtype=dtype)
+        want = corr_lookup(pyr, coords, 4, method="pallas")
+        levels, dims = build_corr_pyramid_pallas(f1, f2, 4, False, dtype=dtype)
+        # levels: (B, P, h/fold, 128); small maps one zero-padded row
+        assert [l.shape[2:] for l in levels] == [(8, 128), (2, 128),
+                                                 (1, 128), (1, 128)]
+        got = corr_lookup(("fold", levels, dims), coords, 4)
+        assert got.dtype == want.dtype
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=2e-2, rtol=1e-2)
