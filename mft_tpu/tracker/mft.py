@@ -338,6 +338,34 @@ class MFT:
             cache = self._fused_frame_fns = {}
         return cache
 
+    def _fused_frame_body(self, enc, fwd, occl_thresh, variables, mems,
+                          img, slots, valid, wslot):
+        """One fused frame: encode-new + batched forward + chain/select +
+        ring update. Shared by the single-frame, chunked, and cache-write
+        jitted entry points — pure function of (mems, img, indices)."""
+        mem_imgs, mem_flow, mem_occl, mem_sigma, mem_fmap, mem_cnet = mems
+        N = len(self.deltas)
+        # encode ONLY the new frame; every left frame's features are
+        # already in the ring (they were the current frame once)
+        f_new, c_new = enc(variables, img[None].astype(jnp.float32))
+        fmap1 = jnp.take(mem_fmap, slots, axis=0)
+        cnet1 = jnp.take(mem_cnet, slots, axis=0)
+        fmap2 = jnp.broadcast_to(f_new, (N, *f_new.shape[1:]))
+        flows, occls, sigmas = fwd(variables, fmap1, fmap2, cnet1)
+        left = FlowOU(flow=jnp.take(mem_flow, slots, axis=0),
+                      occlusion=jnp.take(mem_occl, slots, axis=0),
+                      sigma=jnp.take(mem_sigma, slots, axis=0))
+        right = FlowOU(flow=flows, occlusion=occls, sigma=sigmas)
+        result = chain_select(left, right, valid, occl_thresh)
+        mem_imgs = mem_imgs.at[wslot].set(img)
+        mem_flow = mem_flow.at[wslot].set(result.flow)
+        mem_occl = mem_occl.at[wslot].set(result.occlusion)
+        mem_sigma = mem_sigma.at[wslot].set(result.sigma)
+        mem_fmap = mem_fmap.at[wslot].set(f_new[0])
+        mem_cnet = mem_cnet.at[wslot].set(c_new[0])
+        mems = (mem_imgs, mem_flow, mem_occl, mem_sigma, mem_fmap, mem_cnet)
+        return mems, result, (flows, occls, sigmas)
+
     def _get_fused_frame(self, pairwise_out=False):
         """One jitted function for a full fused frame (see track()).
 
@@ -352,37 +380,118 @@ class MFT:
         occl_thresh = float(self.C.occlusion_threshold or 0.02)
         enc = self.flower.padded_encode(self.img_H, self.img_W)
         fwd = self.flower.features_forward(self.img_H, self.img_W)
-        N = len(self.deltas)
 
         @partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6))
         def frame(variables, mem_imgs, mem_flow, mem_occl, mem_sigma,
                   mem_fmap, mem_cnet, img, slots, valid, wslot):
-            # encode ONLY the new frame; every left frame's features are
-            # already in the ring (they were the current frame once)
-            f_new, c_new = enc(variables, img[None].astype(jnp.float32))
-            fmap1 = jnp.take(mem_fmap, slots, axis=0)
-            cnet1 = jnp.take(mem_cnet, slots, axis=0)
-            fmap2 = jnp.broadcast_to(f_new, (N, *f_new.shape[1:]))
-            flows, occls, sigmas = fwd(variables, fmap1, fmap2, cnet1)
-            left = FlowOU(flow=jnp.take(mem_flow, slots, axis=0),
-                          occlusion=jnp.take(mem_occl, slots, axis=0),
-                          sigma=jnp.take(mem_sigma, slots, axis=0))
-            right = FlowOU(flow=flows, occlusion=occls, sigma=sigmas)
-            result = chain_select(left, right, valid, occl_thresh)
-            mem_imgs = mem_imgs.at[wslot].set(img)
-            mem_flow = mem_flow.at[wslot].set(result.flow)
-            mem_occl = mem_occl.at[wslot].set(result.occlusion)
-            mem_sigma = mem_sigma.at[wslot].set(result.sigma)
-            mem_fmap = mem_fmap.at[wslot].set(f_new[0])
-            mem_cnet = mem_cnet.at[wslot].set(c_new[0])
-            out = (mem_imgs, mem_flow, mem_occl, mem_sigma,
-                   mem_fmap, mem_cnet, result)
+            mems = (mem_imgs, mem_flow, mem_occl, mem_sigma,
+                    mem_fmap, mem_cnet)
+            mems, result, pairwise = self._fused_frame_body(
+                enc, fwd, occl_thresh, variables, mems, img, slots, valid,
+                wslot)
+            out = mems + (result,)
             if pairwise_out:
-                out = out + (flows, occls, sigmas)
+                out = out + pairwise
             return out
 
         cache[key] = frame
         return frame
+
+    def _get_fused_chunk(self, K):
+        """Jitted K-frame step: K fused frames unrolled into ONE dispatch.
+
+        Through a remote device tunnel every jitted dispatch costs
+        milliseconds of host-side latency (arg flattening + transport);
+        amortizing it over K frames is free throughput. Math is identical
+        to K sequential _get_fused_frame calls (same body, chained memory).
+        """
+        key = (self.img_H, self.img_W, "chunk", K)
+        cache = self._frame_fn_cache()
+        if key in cache:
+            return cache[key]
+        occl_thresh = float(self.C.occlusion_threshold or 0.02)
+        enc = self.flower.padded_encode(self.img_H, self.img_W)
+        fwd = self.flower.features_forward(self.img_H, self.img_W)
+
+        @partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6))
+        def chunk(variables, mem_imgs, mem_flow, mem_occl, mem_sigma,
+                  mem_fmap, mem_cnet, imgs, slots, valid, wslots):
+            mems = (mem_imgs, mem_flow, mem_occl, mem_sigma,
+                    mem_fmap, mem_cnet)
+            results = []
+            for k in range(K):
+                mems, result, _ = self._fused_frame_body(
+                    enc, fwd, occl_thresh, variables, mems, imgs[k],
+                    slots[k], valid[k], wslots[k])
+                results.append(result)
+            stacked = FlowOU(
+                flow=jnp.stack([r.flow for r in results]),
+                occlusion=jnp.stack([r.occlusion for r in results]),
+                sigma=jnp.stack([r.sigma for r in results]))
+            return mems + (stacked,)
+
+        cache[key] = chunk
+        return chunk
+
+    def track_chunk(self, imgs, **kwargs):
+        """Track ``len(imgs)`` frames in one jitted dispatch.
+
+        Semantically identical to calling :meth:`track` once per frame (the
+        device graph is the same frame body unrolled); returns a list of
+        per-frame metas whose ``result`` views lazily slice the stacked
+        device output. Falls back to per-frame tracking when a FlowCache is
+        attached or the fused path is unavailable.
+        """
+        stacked_in = None
+        if isinstance(imgs, jnp.ndarray) and imgs.ndim == 4:
+            stacked_in = imgs          # pre-staged (K, H, W, 3) device batch
+            imgs = [imgs[k] for k in range(imgs.shape[0])]
+        else:
+            imgs = list(imgs)
+        if (self.flow_cache is not None or not self._use_fused()
+                or self.mem_fmap is None or len(imgs) == 0):
+            return [self.track(im, **kwargs) for im in imgs]
+        K = len(imgs)
+        td = self.time_direction
+        t0 = self.current_frame_i
+        ts = [t0 + (k + 1) * td for k in range(K)]
+        cands_k = [self._candidates(t) for t in ts]
+        key = tuple((tuple(c.slot for c in ck), tuple(c.valid for c in ck),
+                     t % self.ring) for ck, t in zip(cands_k, ts))
+        cache = getattr(self, "_idx_cache", None)
+        if cache is None:
+            cache = self._idx_cache = {}
+        if key not in cache:
+            cache[key] = (
+                jnp.asarray([k[0] for k in key], jnp.int32),
+                jnp.asarray([k[1] for k in key], bool),
+                jnp.asarray([k[2] for k in key], jnp.int32))
+        slots, valid, wslots = cache[key]
+
+        if stacked_in is not None:
+            imgs_d = stacked_in
+        elif isinstance(imgs[0], jnp.ndarray):
+            imgs_d = jnp.stack(imgs)
+        else:
+            imgs_d = jnp.asarray(np.stack([
+                np.ascontiguousarray(im[:, :, ::-1]) if im.dtype == np.uint8
+                else im for im in imgs]))
+
+        step = self._get_fused_chunk(K)
+        (self.mem_imgs, self.mem_flow, self.mem_occl, self.mem_sigma,
+         self.mem_fmap, self.mem_cnet, stacked) = step(
+            self.flower.variables, self.mem_imgs, self.mem_flow,
+            self.mem_occl, self.mem_sigma, self.mem_fmap, self.mem_cnet,
+            imgs_d, slots, valid, wslots)
+        self.current_frame_i = ts[-1]
+        metas = []
+        for k in range(K):
+            meta = SimpleNamespace()
+            meta.result = FlowOU(flow=stacked.flow[k],
+                                 occlusion=stacked.occlusion[k],
+                                 sigma=stacked.sigma[k])
+            metas.append(meta)
+        return metas
 
     def _get_fused_frame_inject(self, compute_idx):
         """Fused frame variant with host-injected pairwise flows.

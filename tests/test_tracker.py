@@ -234,3 +234,84 @@ def test_fused_frame_path_matches_split():
                                np.asarray(split.occlusion), atol=1e-4)
     np.testing.assert_allclose(np.asarray(fused.sigma),
                                np.asarray(split.sigma), atol=1e-4)
+
+
+class FusedFakeFlower(FakeFlower):
+    """FakeFlower exposing the fused-path surface (padded_encode /
+    features_forward / variables): 'features' are just the input image's
+    first channel, which carries the frame-index stamp at [0, 0]."""
+
+    variables = {}
+
+    def padded_encode(self, H, W):
+        def enc(variables, imgs):
+            f = imgs[..., :1]
+            return f, f
+        return enc
+
+    def features_forward(self, H, W):
+        shift = jnp.asarray(self.shift)
+        sigma_scale = self.sigma_scale
+
+        def fwd(variables, fmap1, fmap2, cnet1):
+            dt = fmap2[:, 0, 0, 0] - fmap1[:, 0, 0, 0]      # (N,)
+            N = fmap1.shape[0]
+            flow = jnp.broadcast_to(
+                dt[:, None, None, None] * shift, (N, H, W, 2))
+            occl = jnp.zeros((N, H, W), jnp.float32)
+            sigma = jnp.broadcast_to(
+                (jnp.abs(dt) * sigma_scale)[:, None, None], (N, H, W))
+            return flow, occl, sigma
+        return fwd
+
+
+def _make_fused_tracker(deltas, sigma_scale=0.1):
+    cfg = Config()
+    flow_cfg = Config()
+    flow_cfg.of_class = FusedFakeFlower
+    flow_cfg.sigma_scale = sigma_scale
+    cfg.flow_config = flow_cfg
+    cfg.deltas = deltas
+    cfg.occlusion_threshold = 0.02
+    return cfg
+
+
+def test_track_chunk_matches_per_frame():
+    """track_chunk (K frames in one jitted dispatch) must equal K track()
+    calls exactly — same frame body, chained memory."""
+    deltas = [np.inf, 1, 2, 4]
+    cfg = _make_fused_tracker(deltas)
+
+    ta = MFT(cfg)
+    ta.init(frame(0))
+    assert ta._use_fused()
+    seq = [ta.track(frame(t)) for t in range(1, 9)]
+
+    tb = MFT(cfg)
+    tb.init(frame(0))
+    metas = (tb.track_chunk([frame(t) for t in range(1, 4)])       # K=3
+             + tb.track_chunk([frame(t) for t in range(4, 9)]))    # K=5
+    assert tb.current_frame_i == ta.current_frame_i
+
+    for i, (a, b) in enumerate(zip(seq, metas)):
+        np.testing.assert_array_equal(
+            np.asarray(a.result.flow), np.asarray(b.result.flow),
+            err_msg=f"frame {i + 1} flow")
+        np.testing.assert_array_equal(
+            np.asarray(a.result.occlusion), np.asarray(b.result.occlusion),
+            err_msg=f"frame {i + 1} occlusion")
+        np.testing.assert_array_equal(
+            np.asarray(a.result.sigma), np.asarray(b.result.sigma),
+            err_msg=f"frame {i + 1} sigma")
+    # and the tracked motion is still the cumulative shift
+    assert_shift(interior(np.asarray(metas[-1].result.flow)), 8)
+
+
+def test_track_chunk_falls_back_without_fused_path():
+    """FakeFlower has no fused surface -> track_chunk must fall back to
+    per-frame tracking and still produce correct chained results."""
+    tracker = make_tracker([np.inf, 1, 2], sigma_scale=0.1)
+    tracker.init(frame(0))
+    metas = tracker.track_chunk([frame(1), frame(2), frame(3)])
+    assert len(metas) == 3
+    assert_shift(interior(np.asarray(metas[-1].result.flow)), 3)
