@@ -75,6 +75,28 @@ def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
     return pyramid
 
 
+def quantize_pyramid(pyramid):
+    """Quantize a correlation pyramid to int8 with per-(pair, level) scales.
+
+    The lookup kernel is DMA-bound on the materialized volume (the dominant
+    HBM tensor at 313 MB logical / 880 MB padded per lookup at 512x512);
+    int8 halves the bytes. Quantization error is bounded by max|corr|/254
+    per value; the tent contraction itself stays exact (integer values are
+    exact in bf16 — see _kernel_pixel_major_q).
+
+    returns: (levels_int8, scales) — scales (B, L) f32, value = q * scale.
+    """
+    levels, scales = [], []
+    for corr_l in pyramid:
+        a = corr_l.astype(jnp.float32)
+        mx = jnp.maximum(jnp.max(jnp.abs(a), axis=(1, 2, 3)), 1e-12)  # (B,)
+        q = jnp.clip(jnp.round(a * (127.0 / mx)[:, None, None, None]),
+                     -127.0, 127.0).astype(jnp.int8)
+        levels.append(q)
+        scales.append(mx / 127.0)
+    return levels, jnp.stack(scales, axis=1)
+
+
 def _lookup_level(corr_l: jnp.ndarray, coords: jnp.ndarray, radius: int):
     """Gather a bilinear (2r+1)^2 window from one pyramid level.
 
@@ -188,7 +210,8 @@ _corr_lookup_pallas_ad.defvjp(_corr_lookup_ad_fwd, _corr_lookup_ad_bwd)
 
 
 def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4,
-                method: str = "auto", out_dtype=None) -> jnp.ndarray:
+                method: str = "auto", out_dtype=None,
+                tile_p: int = 0) -> jnp.ndarray:
     """Sample the correlation pyramid around per-pixel correspondences.
 
     args:
@@ -212,6 +235,21 @@ def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4,
         if out_dtype is None:
             out_dtype = levels[0].dtype
         out = corr_lookup_pallas_folded(levels, ldims, c, radius)
+        return out.reshape(B, H, W, -1).astype(out_dtype)
+    if isinstance(pyramid, tuple) and pyramid[0] == "i8":
+        # int8-quantized volume: half the (DMA-bound) lookup bytes; the
+        # non-TPU path dequantizes the SAME int8 values through the exact
+        # mxu formulation, so semantics do not vary with the backend
+        _, levels, scales = pyramid
+        if out_dtype is None:
+            out_dtype = jnp.bfloat16
+        from mft_tpu.ops.corr_lookup_pallas import corr_lookup_pallas_q, _tile_p
+        if jax.default_backend() == "tpu" and _tile_p(H * W, 128) >= 8:
+            out = corr_lookup_pallas_q(levels, scales, c, radius)
+        else:
+            deq = [l.astype(jnp.float32) * scales[:, i, None, None, None]
+                   for i, l in enumerate(levels)]
+            out = _mxu_all_levels(deq, c, radius, jnp.float32)
         return out.reshape(B, H, W, -1).astype(out_dtype)
     if isinstance(pyramid, tuple) and pyramid[0] == "t":
         from mft_tpu.ops.corr_lookup_pallas import corr_lookup_pallas_t, _tile_p
@@ -271,8 +309,12 @@ def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4,
     if method in ("auto", "pallas"):
         from mft_tpu.ops.corr_lookup_pallas import corr_lookup_pallas, _tile_p
         use_pallas = method == "pallas" or jax.default_backend() == "tpu"
-        # f32 blocks need smaller tiles to fit double-buffered VMEM
-        cap = 128 if pyramid[0].dtype == jnp.bfloat16 else 64
+        # the kernel is per-tile-overhead-bound, not DMA-bound: bigger pixel
+        # tiles amortize the fixed per-tile work (tent builds, dot issues,
+        # output slice writes). 512 needs the raised scoped-VMEM limit set
+        # in corr_lookup_pallas (isolated sweep: 128/256/512/1024 ->
+        # 2.16/1.62/1.48/1.90 ms); f32 blocks are 2x the bytes -> 256.
+        cap = tile_p or (512 if pyramid[0].dtype == jnp.bfloat16 else 256)
         if use_pallas and _tile_p(H * W, cap) >= 8:
             # ywin row-windowing measured slightly WORSE in the full graph
             # (15.95 vs 16.64 FPS) — the kernel is not contraction-bound;

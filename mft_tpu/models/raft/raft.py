@@ -43,9 +43,10 @@ class RAFTParams:
     corr_levels: int = 4
     corr_radius: int = 4
     normalized_features: bool = False
-    corr_method: str = "auto"  # 'auto'|'pallas'|'mxu'|'gather'|'alt'|'win'|'pallas_t'|'fold'
+    corr_method: str = "auto"  # 'auto'|'pallas'|'mxu'|'gather'|'alt'|'win'|'pallas_t'|'fold'|'int8'
     compute_dtype: str = "float32"  # 'bfloat16' for mixed-precision inference
     conv_backend: str = "auto"  # 'auto'|'conv'|'matmul' (update.py conv_apply)
+    corr_tile: int = 0  # pixel-tile override for the pallas lookup (0 = auto)
     relu_uncertainty: bool = False
     ou_last_iter_only: bool = False
     dropout: float = 0.0
@@ -214,7 +215,8 @@ class RAFT(nn.Module):
         H, W = H8 * 8, W8 * 8
 
         lookup_method = cfg.corr_method
-        if cfg.corr_method in ("alt", "win", "pallas_t", "fold") and self.train_mode:
+        if cfg.corr_method in ("alt", "win", "pallas_t", "fold",
+                               "int8") and self.train_mode:
             # the alt/win/lane-major/folded kernels have no VJP — train with
             # the materialized pyramid and the differentiable standard lookup
             lookup_method = "auto"
@@ -271,6 +273,17 @@ class RAFT(nn.Module):
                 fmap1, fmap2, cfg.corr_levels, cfg.normalized_features,
                 dtype=cfg.dtype)
             pyramid = ("fold", levels, dims)
+        elif lookup_method == "int8":
+            # int8-quantized volume: halves the DMA of the (DMA-bound)
+            # per-iteration lookup. Inference-only accuracy/speed trade
+            # (error <= max|corr|/254 per correlation value); training
+            # falls back to the differentiable standard path above.
+            from mft_tpu.models.raft.corr import quantize_pyramid
+            pyr = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels,
+                                     cfg.normalized_features,
+                                     dtype=cfg.dtype)
+            levels, scales = quantize_pyramid(pyr)
+            pyramid = ("i8", levels, scales)
         else:
             pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels,
                                          cfg.normalized_features,
@@ -289,7 +302,7 @@ class RAFT(nn.Module):
         for itr in range(iters):
             coords1 = jax.lax.stop_gradient(coords1)
             corr = corr_lookup(pyramid, coords1, cfg.effective_corr_radius,
-                               method=lookup_method)
+                               method=lookup_method, tile_p=cfg.corr_tile)
 
             is_last = itr == iters - 1
             need_up = (not test_mode) or is_last

@@ -155,6 +155,9 @@ def corr_lookup_pallas(pyramid, coords, radius: int = 4, tile_p: int = 256,
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((B, P, L * n * n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(coords.astype(jnp.float32), *pyramid)
 
@@ -430,6 +433,100 @@ def build_corr_pyramid_pallas(fmap1, fmap2, num_levels: int = 4,
         interpret=_interpret(),
     )(f1, *f2_levels)
     return list(out), dims
+
+
+def _kernel_pixel_major_q(coords_ref, scales_ref, *rest, radius: int,
+                          tile_p: int):
+    """Pixel-major lookup over an int8-QUANTIZED volume.
+
+    Same contraction as _kernel_pixel_major, but the volume blocks arrive
+    as int8 (half the HBM DMA — the lookup kernel is DMA-bound) and are
+    widened to bfloat16 in VMEM. Quantized integer values (|v| <= 127) are
+    EXACTLY representable in bf16, so the tent matmuls are exact given the
+    quantized volume; dequantization is one scalar multiply per level on
+    the (TILE_P, n, n) output (scales_ref[b, lvl] = max|corr| / 127).
+    """
+    n = 2 * radius + 1
+    corr_refs, out_ref = rest[:-1], rest[-1]
+    b = pl.program_id(0)
+    c = coords_ref[0]                     # (TILE_P, 2) f32, level-0 scale
+    cx = c[:, 0][:, None, None]           # (TILE_P, 1, 1)
+    cy = c[:, 1][:, None, None]
+    dt = jnp.bfloat16
+
+    for lvl, ref in enumerate(corr_refs):
+        h, w = ref.shape[2], ref.shape[3]
+        inv = 1.0 / (2.0 ** lvl)
+        base = lvl * n * n
+        scale = scales_ref[b, lvl]
+
+        kx = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_p, n, w), 1).astype(jnp.float32) - radius
+        xx = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_p, n, w), 2).astype(jnp.float32)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(cx * inv + kx - xx)).astype(dt)
+
+        ky = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_p, n, h), 1).astype(jnp.float32) - radius
+        yy = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_p, n, h), 2).astype(jnp.float32)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(cy * inv + ky - yy)).astype(dt)
+        corr = ref[0].astype(dt)          # int8 -> bf16 widen in VMEM
+        t = jax.lax.dot_general(
+            wy, corr,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dt)
+        s = jax.lax.dot_general(
+            wx, t,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        for i in range(n):
+            out_ref[0, :, base + i * n: base + (i + 1) * n] = (
+                s[:, i, :].astype(out_ref.dtype))
+
+
+def corr_lookup_pallas_q(pyramid_i8, scales, coords, radius: int = 4,
+                         tile_p: int = 128):
+    """Fused pyramid lookup over an int8 volume (see _kernel_pixel_major_q).
+
+    args:
+      pyramid_i8: list of (B, P, h_l, w_l) int8 arrays.
+      scales: (B, L) float32 per-(pair, level) dequantization scales.
+      coords: (B, P, 2) float32 (x, y) centers at level-0 scale.
+    returns: (B, P, L*(2r+1)^2) bfloat16.
+    """
+    B, P, _, _ = pyramid_i8[0].shape
+    n = 2 * radius + 1
+    L = len(pyramid_i8)
+    tp = _tile_p(P, tile_p)
+    if tp == 0:
+        raise ValueError(f"P={P} has no power-of-two tiling")
+
+    grid = (B, P // tp)
+    in_specs = [
+        pl.BlockSpec((1, tp, 2), lambda b, p: (b, p, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, L), lambda b, p: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    for lvl in range(L):
+        h, w = pyramid_i8[lvl].shape[2:]
+        in_specs.append(pl.BlockSpec(
+            (1, tp, h, w), lambda b, p: (b, p, 0, 0),
+            memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((1, tp, L * n * n), lambda b, p: (b, p, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel_pixel_major_q, radius=radius,
+                               tile_p=tp)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, P, L * n * n), jnp.bfloat16),
+        interpret=_interpret(),
+    )(coords.astype(jnp.float32), scales.astype(jnp.float32), *pyramid_i8)
 
 
 # NOTE on manual-DMA row windowing: a chunked HBM->VMEM DMA variant of the

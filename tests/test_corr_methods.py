@@ -16,3 +16,25 @@ def test_mxu_lookup_matches_gather(rng):
     got = corr_lookup(pyr, coords, radius=4, method="mxu")
     want = corr_lookup(pyr, coords, radius=4, method="gather")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_int8_quantized_lookup_close_to_exact(rng):
+    """corr_method='int8' samples must match the exact lookup to within the
+    quantization bound (max|corr| / 254 per value, times the 4-level tent
+    mixing) — and the dequantized-mxu fallback must be what non-TPU
+    backends produce (same int8 values, exact contraction)."""
+    from mft_tpu.models.raft.corr import quantize_pyramid, _mxu_all_levels
+
+    B, C, H, W = 2, 16, 16, 24
+    f1 = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    f2 = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    pyr = build_corr_pyramid(f1, f2)
+    levels, scales = quantize_pyramid(pyr)
+    assert levels[0].dtype == jnp.int8 and scales.shape == (B, len(pyr))
+
+    coords = jnp.asarray(rng.uniform(-4, 28, (B, H, W, 2)).astype(np.float32))
+    got = corr_lookup(("i8", levels, scales), coords, radius=4)
+    want = corr_lookup(pyr, coords, radius=4, method="mxu")
+    bound = float(np.max(np.abs(np.asarray(pyr[0], np.float32)))) / 200.0
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32), atol=4 * bound)
