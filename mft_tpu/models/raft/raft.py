@@ -201,7 +201,7 @@ class RAFT(nn.Module):
                                        flow_init=flow_init,
                                        test_mode=test_mode)
 
-    def flow_from_features(self, fmap1, fmap2, cnet, iters: int = 12,
+    def flow_from_features(self, fmap1, fmap2, cnet, iters=12,
                            flow_init=None, test_mode: bool = True):
         """Everything after the encoders (pyramid -> GRU loop -> heads).
 
@@ -209,7 +209,14 @@ class RAFT(nn.Module):
         frames, cnet (B, H/8, W/8, 256) context features of frame 1 — all
         as produced by :meth:`encode`. Split out so cached features can be
         fed directly (tracker feature-ring memory).
+
+        ``iters`` may be a per-pair tuple (len B) instead of an int: each
+        pair then runs its own iteration count (see :meth:`_flow_scheduled`)
+        — the documented non-default speed mode for the MFT tracker.
         """
+        if isinstance(iters, (tuple, list)):
+            return self._flow_scheduled(fmap1, fmap2, cnet, tuple(iters),
+                                        flow_init, test_mode)
         cfg = self.cfg
         B, H8, W8, _ = fmap1.shape
         H, W = H8 * 8, W8 * 8
@@ -373,4 +380,121 @@ class RAFT(nn.Module):
             if cfg.uncertainty_estimation:
                 outputs["uncertainty"] = unc_preds
         outputs["coords"] = coords1 - coords0
+        return outputs
+
+    def _flow_scheduled(self, fmap1, fmap2, cnet, iters_schedule,
+                        flow_init, test_mode):
+        """Per-pair GRU iteration schedule (non-default inference speed mode).
+
+        Pair ``b`` runs exactly ``iters_schedule[b]`` refinement iterations
+        with per-pair math IDENTICAL to ``flow_from_features(iters=
+        iters_schedule[b])`` (tested in tests/test_iter_schedule.py): pairs
+        are sorted by descending iteration count so the active set is always
+        a batch prefix, each iteration computes only that prefix, and a
+        pair's OU heads + convex upsampling run at its own last iteration on
+        its exit slice (mask head restricted to the exit rows).
+
+        Rationale: the MFT tracker's small-delta pairs carry tiny flows that
+        converge far below the reference's uniform 12 iterations
+        (configs/flow/RAFTou_kubric_huber_split_nonoccl.py:27); scheduling
+        them lower trades a documented accuracy epsilon for throughput.
+        The default configs keep the uniform 12 — this path only runs when
+        a config sets ``flow_iters_schedule``.
+        """
+        cfg = self.cfg
+        assert test_mode, "iteration schedules are an inference-only mode"
+        if cfg.corr_method not in ("auto", "pallas", "mxu", "gather"):
+            raise NotImplementedError(
+                "iters schedule requires a sliceable materialized pyramid; "
+                f"corr_method={cfg.corr_method!r} is not supported")
+        B, H8, W8, _ = fmap1.shape
+        if len(iters_schedule) != B:
+            raise ValueError(f"schedule len {len(iters_schedule)} != B={B}")
+        sched = [int(i) for i in iters_schedule]
+        if min(sched) < 1:
+            raise ValueError(f"schedule entries must be >= 1: {sched}")
+        order = sorted(range(B), key=lambda b: -sched[b])  # descending, stable
+        ssched = [sched[b] for b in order]
+        max_iters = ssched[0]
+        counts = [sum(1 for s in ssched if s > k) for k in range(max_iters)]
+
+        perm = jnp.asarray(order)
+        fmap1 = jnp.take(fmap1, perm, axis=0)
+        fmap2 = jnp.take(fmap2, perm, axis=0)
+        cnet = jnp.take(cnet, perm, axis=0)
+        if flow_init is not None:
+            flow_init = jnp.take(flow_init, perm, axis=0)
+
+        pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels,
+                                     cfg.normalized_features,
+                                     dtype=cfg.dtype)
+        net = jnp.tanh(cnet[..., : cfg.hidden_dim])
+        inp = nn.relu(cnet[..., cfg.hidden_dim:])
+        coords0 = initialize_coords(B, H8, W8)
+        coords1 = coords0 if flow_init is None else coords0 + flow_init
+
+        outs = [None] * B  # per ORIGINAL pair index
+        m = B
+        for itr in range(max_iters):
+            if counts[itr] < m:
+                m = counts[itr]
+                pyramid = [lvl[:m] for lvl in pyramid]
+                net, inp = net[:m], inp[:m]
+                coords0, coords1 = coords0[:m], coords1[:m]
+            corr = corr_lookup(pyramid, coords1, cfg.effective_corr_radius,
+                               method=cfg.corr_method, tile_p=cfg.corr_tile)
+            m_next = counts[itr + 1] if itr + 1 < max_iters else 0
+            flow = coords1 - coords0
+            net, up_mask, delta_flow, motion_features = self.update_block(
+                net, inp, corr, flow, need_mask=m_next < m,
+                mask_rows=(m_next, m))
+            delta_flow = delta_flow.astype(jnp.float32)
+            coords1 = coords1 + delta_flow
+
+            if m_next == m:
+                continue
+            # pairs [m_next:m] exit after this iteration: their OU heads +
+            # upsampling run here, exactly as a uniform run's last iteration
+            sl = slice(m_next, m)
+            fields = [(coords1 - coords0)[sl]]
+            coefs = [8.0]
+            occl = uncertainty = None
+            if cfg.occlusion_estimation:
+                occl, uncertainty = self.occlusion_block(
+                    net[sl], inp[sl], corr[sl], (coords1 - coords0)[sl],
+                    delta_flow[sl], motion_features[sl])
+                fields.append(occl.astype(jnp.float32))
+                coefs.append(1.0)
+                if cfg.uncertainty_estimation:
+                    fields.append(uncertainty.astype(jnp.float32))
+                    coefs.append(cfg.uncertainty_upsample_mult)
+            if up_mask is None:  # small model: plain x8 bilinear
+                ups = [upflow8(fields[0])]
+                ups += [upsample8(f * c) for f, c in
+                        zip(fields[1:], coefs[1:])]
+            else:
+                ups = convex_upsample_multi(fields,
+                                            up_mask.astype(jnp.float32),
+                                            coefs)
+            fl = ups.pop(0)
+            oc = ups.pop(0) if cfg.occlusion_estimation else None
+            un = ups.pop(0) if cfg.uncertainty_estimation else None
+            if un is not None and cfg.relu_uncertainty:
+                un = nn.relu(un)
+            low = (coords1 - coords0)[sl]
+            for j, row in enumerate(range(m_next, m)):
+                outs[order[row]] = (
+                    fl[j:j + 1],
+                    None if oc is None else oc[j:j + 1],
+                    None if un is None else un[j:j + 1],
+                    low[j:j + 1])
+
+        outputs = {"flow": jnp.concatenate([o[0] for o in outs], axis=0)}
+        if cfg.occlusion_estimation:
+            outputs["occlusion"] = jnp.concatenate([o[1] for o in outs],
+                                                   axis=0)
+        if cfg.uncertainty_estimation:
+            outputs["uncertainty"] = jnp.concatenate([o[2] for o in outs],
+                                                     axis=0)
+        outputs["coords"] = jnp.concatenate([o[3] for o in outs], axis=0)
         return outputs

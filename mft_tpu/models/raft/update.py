@@ -215,7 +215,8 @@ class BasicUpdateBlock(nn.Module):
     matmul: bool = False
 
     @nn.compact
-    def __call__(self, net, inp, corr, flow, need_mask: bool = True):
+    def __call__(self, net, inp, corr, flow, need_mask: bool = True,
+                 mask_rows=None):
         mm = self.matmul
         motion_features = BasicMotionEncoder(dtype=self.dtype, matmul=mm,
                                              name="encoder")(flow, corr)
@@ -229,10 +230,15 @@ class BasicUpdateBlock(nn.Module):
         # At test time the mask is only consumed on the final iteration
         # (raft.py upsamples once); need_mask=False skips the two convs
         # explicitly instead of relying on XLA dead-code elimination.
+        # mask_rows (static (start, stop) batch slice) restricts the mask
+        # head to the pairs that actually upsample this iteration — used by
+        # the per-pair iteration schedule where pairs exit at different
+        # iterations (raft.py _flow_scheduled).
         up_mask = None
         if need_mask or self.is_initializing():
+            src = net if mask_rows is None else net[mask_rows[0]:mask_rows[1]]
             m = nn.relu(nn.Conv(256, (3, 3), padding=_pad(3), dtype=self.dtype,
-                                name="mask_conv1")(net))
+                                name="mask_conv1")(src))
             up_mask = 0.25 * nn.Conv(576, (1, 1), padding="VALID",
                                      dtype=self.dtype, name="mask_conv2")(m)
         return net, up_mask, delta_flow, motion_features
@@ -284,8 +290,9 @@ class SmallUpdateBlock(nn.Module):
     dtype: object = jnp.float32
 
     @nn.compact
-    def __call__(self, net, inp, corr, flow, need_mask: bool = True):
-        del need_mask  # no mask head in the small model (upflow8 upsampling)
+    def __call__(self, net, inp, corr, flow, need_mask: bool = True,
+                 mask_rows=None):
+        del need_mask, mask_rows  # no mask head in the small model
         motion_features = SmallMotionEncoder(dtype=self.dtype,
                                              name="encoder")(flow, corr)
         gru_in = jnp.concatenate([inp, motion_features], axis=-1)

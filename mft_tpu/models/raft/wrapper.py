@@ -158,15 +158,21 @@ class RAFTFlow:
 
         return enc
 
-    def features_forward(self, H, W):
+    def features_forward(self, H, W, iters_schedule=None):
         """Unjitted closure: flow/occl/sigma from CACHED encoder features.
 
         args (to the closure): variables, fmap1, fmap2, cnet1 — features at
         the padded stride-8 resolution from :meth:`padded_encode`.
         returns: (flow (B,H,W,2), occl (B,H,W), sigma (B,H,W)) unpadded.
+
+        ``iters_schedule`` (optional tuple, one entry per batch pair)
+        switches the forward to the per-pair iteration-count speed mode
+        (RAFT._flow_scheduled); None keeps the uniform ``flow_iters``.
         """
         (pt, pb), (pl, pr) = pad_to_8(H, W)
         model, iters = self.model, self.iters
+        if iters_schedule is not None:
+            iters = tuple(int(i) for i in iters_schedule)
 
         def fwd(variables, fmap1, fmap2, cnet1):
             out = model.apply(

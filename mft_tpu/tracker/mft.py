@@ -104,6 +104,39 @@ class MFT:
         return (not bool(self.C.timers_enabled)
                 and hasattr(self.flower, "features_forward"))
 
+    def _iters_schedule(self):
+        """Per-pair GRU iteration counts from ``C.flow_iters_schedule``.
+
+        None (the default) keeps the reference-parity uniform iteration
+        count. A config may set a mapping {delta: iters} (``float('inf')``
+        or ``'inf'`` keys the template pair; missing deltas fall back to
+        ``flow_config.flow_iters``) or a sequence aligned with the sorted
+        delta order. Returns a tuple aligned with ``self.deltas`` — the
+        batch order of the fused frame step. Documented speed mode: see
+        RAFT._flow_scheduled.
+        """
+        sched = self.C.flow_iters_schedule
+        if not sched:
+            return None
+        default = int(self.C.flow_config.flow_iters or 12)
+        if hasattr(sched, "items"):
+            def match(d):
+                for k, it in sched.items():
+                    if isinstance(k, str):
+                        if k == "inf" and np.isinf(d):
+                            return int(it)
+                    elif np.isinf(k) and np.isinf(d):
+                        return int(it)
+                    elif np.isfinite(k) and np.isfinite(d) and float(k) == float(d):
+                        return int(it)
+                return default
+            return tuple(match(d) for d in self.deltas)
+        out = tuple(int(i) for i in sched)
+        if len(out) != len(self.deltas):
+            raise ValueError(
+                f"flow_iters_schedule len {len(out)} != {len(self.deltas)} deltas")
+        return out
+
     def _get_encode(self):
         key = ("enc", self.img_H, self.img_W)
         cache = getattr(self, "_fused_frame_fns", None)
@@ -373,13 +406,17 @@ class MFT:
         (flows, occls, sigmas) so cacheable pairs can be written back to a
         FlowCache.
         """
-        key = (self.img_H, self.img_W, pairwise_out)
+        sched = self._iters_schedule()
+        key = (self.img_H, self.img_W, pairwise_out, sched)
         cache = self._frame_fn_cache()
         if key in cache:
             return cache[key]
         occl_thresh = float(self.C.occlusion_threshold or 0.02)
         enc = self.flower.padded_encode(self.img_H, self.img_W)
-        fwd = self.flower.features_forward(self.img_H, self.img_W)
+        fwd = (self.flower.features_forward(self.img_H, self.img_W)
+               if sched is None else
+               self.flower.features_forward(self.img_H, self.img_W,
+                                            iters_schedule=sched))
 
         @partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6))
         def frame(variables, mem_imgs, mem_flow, mem_occl, mem_sigma,
@@ -405,13 +442,17 @@ class MFT:
         amortizing it over K frames is free throughput. Math is identical
         to K sequential _get_fused_frame calls (same body, chained memory).
         """
-        key = (self.img_H, self.img_W, "chunk", K)
+        sched = self._iters_schedule()
+        key = (self.img_H, self.img_W, "chunk", K, sched)
         cache = self._frame_fn_cache()
         if key in cache:
             return cache[key]
         occl_thresh = float(self.C.occlusion_threshold or 0.02)
         enc = self.flower.padded_encode(self.img_H, self.img_W)
-        fwd = self.flower.features_forward(self.img_H, self.img_W)
+        fwd = (self.flower.features_forward(self.img_H, self.img_W)
+               if sched is None else
+               self.flower.features_forward(self.img_H, self.img_W,
+                                            iters_schedule=sched))
 
         @partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6))
         def chunk(variables, mem_imgs, mem_flow, mem_occl, mem_sigma,
@@ -501,13 +542,18 @@ class MFT:
         compute_idx is (0,) — just the non-cacheable delta=inf pair — or ()
         when everything hit, making a warm-cache frame RAFT-free.
         """
-        key = (self.img_H, self.img_W, "inject", compute_idx)
+        sched = self._iters_schedule()
+        key = (self.img_H, self.img_W, "inject", compute_idx, sched)
         cache = self._frame_fn_cache()
         if key in cache:
             return cache[key]
         occl_thresh = float(self.C.occlusion_threshold or 0.02)
         enc = self.flower.padded_encode(self.img_H, self.img_W)
-        fwd = self.flower.features_forward(self.img_H, self.img_W)
+        fwd = (self.flower.features_forward(self.img_H, self.img_W)
+               if sched is None else
+               self.flower.features_forward(
+                   self.img_H, self.img_W,
+                   iters_schedule=tuple(sched[i] for i in compute_idx)))
         idx = jnp.asarray(compute_idx, jnp.int32)
         K = len(compute_idx)
 
