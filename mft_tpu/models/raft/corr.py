@@ -229,6 +229,28 @@ def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4,
     """
     B, H, W, _ = coords.shape
     c = coords.reshape(B, H * W, 2)
+    if isinstance(pyramid, tuple) and pyramid[0] == "packed":
+        # lane-packed all-levels-in-one-map volume: the lookup contracts
+        # every level with 2 batched dots per pixel tile instead of 2 per
+        # LEVEL — the kernel is dot-issue-bound (ops/corr_lookup_pallas.py
+        # pack_corr_pyramid). CPU/tiny shapes unpack and use the exact mxu
+        # path, so semantics do not vary with the backend.
+        _, packed, pdims = pyramid
+        if out_dtype is None:
+            out_dtype = packed.dtype
+        from mft_tpu.ops.corr_lookup_pallas import (corr_lookup_pallas_packed,
+                                                    _tile_p)
+        cap = tile_p or 256
+        if jax.default_backend() == "tpu" and _tile_p(H * W, cap) >= 8:
+            out = corr_lookup_pallas_packed(packed, pdims, c, radius,
+                                            tile_p=cap)
+        else:
+            levels, off = [], 0
+            for (h, w) in pdims:
+                levels.append(packed[:, :, :h, off:off + w])
+                off += w
+            out = _mxu_all_levels(levels, c, radius, out_dtype)
+        return out.reshape(B, H, W, -1).astype(out_dtype)
     if isinstance(pyramid, tuple) and pyramid[0] == "fold":
         from mft_tpu.ops.corr_lookup_pallas import corr_lookup_pallas_folded
         _, levels, ldims = pyramid

@@ -43,7 +43,7 @@ class RAFTParams:
     corr_levels: int = 4
     corr_radius: int = 4
     normalized_features: bool = False
-    corr_method: str = "auto"  # 'auto'|'pallas'|'mxu'|'gather'|'alt'|'win'|'pallas_t'|'fold'|'int8'
+    corr_method: str = "auto"  # 'auto'|'pallas'|'mxu'|'gather'|'alt'|'win'|'pallas_t'|'fold'|'int8'|'packed'
     compute_dtype: str = "float32"  # 'bfloat16' for mixed-precision inference
     conv_backend: str = "auto"  # 'auto'|'conv'|'matmul' (update.py conv_apply)
     corr_tile: int = 0  # pixel-tile override for the pallas lookup (0 = auto)
@@ -223,7 +223,7 @@ class RAFT(nn.Module):
 
         lookup_method = cfg.corr_method
         if cfg.corr_method in ("alt", "win", "pallas_t", "fold",
-                               "int8") and self.train_mode:
+                               "int8", "packed") and self.train_mode:
             # the alt/win/lane-major/folded kernels have no VJP — train with
             # the materialized pyramid and the differentiable standard lookup
             lookup_method = "auto"
@@ -280,6 +280,18 @@ class RAFT(nn.Module):
                 fmap1, fmap2, cfg.corr_levels, cfg.normalized_features,
                 dtype=cfg.dtype)
             pyramid = ("fold", levels, dims)
+        elif lookup_method == "packed":
+            # all pyramid levels lane-packed side by side in ONE map per
+            # pixel: the (dot-issue-bound) lookup contracts every level
+            # with 2 batched dots per tile instead of 2 per level, and the
+            # physical HBM volume halves (no per-level lane padding) — see
+            # ops/corr_lookup_pallas.py pack_corr_pyramid
+            from mft_tpu.ops.corr_lookup_pallas import pack_corr_pyramid
+            pyr = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels,
+                                     cfg.normalized_features,
+                                     dtype=cfg.dtype)
+            packed, pdims = pack_corr_pyramid(pyr)
+            pyramid = ("packed", packed, pdims)
         elif lookup_method == "int8":
             # int8-quantized volume: halves the DMA of the (DMA-bound)
             # per-iteration lookup. Inference-only accuracy/speed trade
@@ -403,7 +415,8 @@ class RAFT(nn.Module):
         """
         cfg = self.cfg
         assert test_mode, "iteration schedules are an inference-only mode"
-        if cfg.corr_method not in ("auto", "pallas", "mxu", "gather"):
+        if cfg.corr_method not in ("auto", "pallas", "mxu", "gather",
+                                   "packed"):
             raise NotImplementedError(
                 "iters schedule requires a sliceable materialized pyramid; "
                 f"corr_method={cfg.corr_method!r} is not supported")
@@ -428,6 +441,14 @@ class RAFT(nn.Module):
         pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels,
                                      cfg.normalized_features,
                                      dtype=cfg.dtype)
+        if cfg.corr_method == "packed":
+            from mft_tpu.ops.corr_lookup_pallas import pack_corr_pyramid
+            packed, pdims = pack_corr_pyramid(pyramid)
+            pyramid = ("packed", packed, pdims)
+        slice_pyr = (
+            (lambda pyr, mm: ("packed", pyr[1][:mm], pyr[2]))
+            if cfg.corr_method == "packed"
+            else (lambda pyr, mm: [lvl[:mm] for lvl in pyr]))
         net = jnp.tanh(cnet[..., : cfg.hidden_dim])
         inp = nn.relu(cnet[..., cfg.hidden_dim:])
         coords0 = initialize_coords(B, H8, W8)
@@ -438,7 +459,7 @@ class RAFT(nn.Module):
         for itr in range(max_iters):
             if counts[itr] < m:
                 m = counts[itr]
-                pyramid = [lvl[:m] for lvl in pyramid]
+                pyramid = slice_pyr(pyramid, m)
                 net, inp = net[:m], inp[:m]
                 coords0, coords1 = coords0[:m], coords1[:m]
             corr = corr_lookup(pyramid, coords1, cfg.effective_corr_radius,

@@ -529,6 +529,145 @@ def corr_lookup_pallas_q(pyramid_i8, scales, coords, radius: int = 4,
     )(coords.astype(jnp.float32), scales.astype(jnp.float32), *pyramid_i8)
 
 
+# --------------------------------------------------------------------------- #
+# layout P: ALL pyramid levels lane-packed side by side in ONE map per pixel
+# --------------------------------------------------------------------------- #
+def pack_corr_pyramid(pyramid):
+    """Concatenate pyramid levels along LANES into one (B, P, H0, sum_w) map.
+
+    The per-level kernels (_kernel_pixel_major) issue 2 batched dots per
+    pixel per LEVEL (8 per pixel at 4 levels), and profiling shows the
+    lookup is bound by that dot count, not by DMA or MACs (int8 volumes,
+    ywin row windows and tile-size sweeps all left it unchanged). Packing
+    the levels side by side — level l occupying lanes
+    [off_l, off_l + w_l) of a shared (H0, sum_l w_l) map, rows >= h_l
+    zero-padded — lets :func:`corr_lookup_pallas_packed` contract ALL levels
+    with 2 batched dots per pixel total, each with 4x the rows (L*n vs n):
+    4x fewer dot issues and far better MXU shapes. As a bonus the physical
+    HBM volume drops ~2x: at 512x512 the plain 4D layout lane-pads every
+    w<128 level to 128 lanes (~880 MB per lookup), while the packed map is
+    64+32+16+8 = 120 lanes (~470 MB).
+
+    returns: (packed (B, P, H0, sum_w), dims tuple of (h_l, w_l)).
+    Requires sum_l w_l <= 128 (one physical lane row), i.e. W0 <= 68.
+    """
+    B, P, H0, W0 = pyramid[0].shape
+    cols, dims = [], []
+    for arr in pyramid:
+        h, w = arr.shape[2:]
+        dims.append((h, w))
+        if h < H0:
+            # zero row padding => exact zeros-padding bilinear semantics for
+            # y taps beyond the level's map (no weight masking needed)
+            arr = jnp.pad(arr, ((0, 0), (0, 0), (0, H0 - h), (0, 0)))
+        cols.append(arr)
+    if sum(w for _, w in dims) > 128:
+        raise ValueError(
+            f"packed layout needs sum of level widths <= 128 lanes, got "
+            f"{[w for _, w in dims]}")
+    return jnp.concatenate(cols, axis=-1), tuple(dims)
+
+
+def _kernel_packed(coords_ref, packed_ref, out_ref, *, radius: int,
+                   tile_p: int, dims):
+    """All-levels tent lookup over the lane-packed volume: 2 dots per tile.
+
+    Math identical to _kernel_pixel_major / _lookup_level_mxu. The x tent
+    weights are masked to each level's lane range (lanes outside a level
+    hold OTHER levels' data); y taps beyond a level's height hit the packed
+    map's zero row padding, which IS the zeros-padding bilinear semantics.
+    The second dot computes all (L*n)^2 cross products and keeps the L
+    diagonal n x n blocks — 4x the MACs of the per-level form, but MACs are
+    free here; dot ISSUES are the bottleneck (see pack_corr_pyramid).
+    """
+    n = 2 * radius + 1
+    L = len(dims)
+    c = coords_ref[0]                     # (TILE_P, 2) f32, level-0 scale
+    cx = c[:, 0][:, None, None]           # (TILE_P, 1, 1)
+    cy = c[:, 1][:, None, None]
+    H0 = packed_ref.shape[2]
+    Wp = packed_ref.shape[3]
+    dt = packed_ref.dtype
+
+    wy_parts, wx_parts = [], []
+    off = 0
+    for lvl, (h, w) in enumerate(dims):
+        inv = 1.0 / (2.0 ** lvl)
+        ky = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_p, n, H0), 1).astype(jnp.float32) - radius
+        yy = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_p, n, H0), 2).astype(jnp.float32)
+        wy_parts.append(jnp.maximum(0.0, 1.0 - jnp.abs(cy * inv + ky - yy)))
+        kx = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_p, n, Wp), 1).astype(jnp.float32) - radius
+        xi = jax.lax.broadcasted_iota(jnp.int32, (tile_p, n, Wp), 2) - off
+        xl = xi.astype(jnp.float32)
+        wxl = jnp.maximum(0.0, 1.0 - jnp.abs(cx * inv + kx - xl))
+        wx_parts.append(jnp.where((xi >= 0) & (xi < w), wxl, 0.0))
+        off += w
+    wy = jnp.concatenate(wy_parts, axis=1).astype(dt)     # (tp, L*n, H0)
+    wx = jnp.concatenate(wx_parts, axis=1).astype(dt)     # (tp, L*n, Wp)
+
+    x = packed_ref[0]                                     # (tp, H0, Wp)
+    # T[p, l*n+j, lane] = sum_y Wy[p, l*n+j, y] map[p, y, lane]
+    t = jax.lax.dot_general(
+        wy, x,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dt)
+    # S[p, l*n+i, m*n+j] = sum_lane Wx[p, l*n+i, lane] T[p, m*n+j, lane];
+    # only the l == m diagonal blocks are meaningful (wx masks its level)
+    s = jax.lax.dot_general(
+        wx, t,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    for lvl in range(L):
+        base = lvl * n * n
+        for i in range(n):
+            out_ref[0, :, base + i * n: base + (i + 1) * n] = (
+                s[:, lvl * n + i, lvl * n: lvl * n + n].astype(out_ref.dtype))
+
+
+def corr_lookup_pallas_packed(packed, dims, coords, radius: int = 4,
+                              tile_p: int = 256):
+    """Fused pyramid lookup over the lane-packed volume (_kernel_packed).
+
+    args:
+      packed: (B, P, H0, sum_w) from :func:`pack_corr_pyramid`.
+      dims: tuple of per-level (h_l, w_l).
+      coords: (B, P, 2) float32 (x, y) centers at level-0 scale.
+    returns: (B, P, L*(2r+1)^2) in the volume dtype (f32 accumulation).
+    """
+    B, P, _, _ = packed.shape
+    n = 2 * radius + 1
+    L = len(dims)
+    tp = _tile_p(P, tile_p)
+    if tp == 0:
+        raise ValueError(f"P={P} has no power-of-two tiling")
+    out_dtype = packed.dtype
+
+    in_specs = [
+        pl.BlockSpec((1, tp, 2), lambda b, p: (b, p, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tp, packed.shape[2], packed.shape[3]),
+                     lambda b, p: (b, p, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((1, tp, L * n * n), lambda b, p: (b, p, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel_packed, radius=radius, tile_p=tp,
+                               dims=tuple(dims))
+    return pl.pallas_call(
+        kernel,
+        grid=(B, P // tp),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, P, L * n * n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(coords.astype(jnp.float32), packed)
+
+
 # NOTE on manual-DMA row windowing: a chunked HBM->VMEM DMA variant of the
 # pixel-major kernel (skip volume row bands no pixel of the tile samples —
 # the role of the reference CUDA kernel's shared-memory staging) was built

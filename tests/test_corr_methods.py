@@ -38,3 +38,40 @@ def test_int8_quantized_lookup_close_to_exact(rng):
     bound = float(np.max(np.abs(np.asarray(pyr[0], np.float32)))) / 200.0
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32), atol=4 * bound)
+
+
+def test_packed_lookup_matches_mxu(rng):
+    """The lane-packed all-levels kernel (interpret mode on CPU) and its
+    mxu unpack fallback must both match the exact tent-matmul lookup."""
+    from mft_tpu.ops.corr_lookup_pallas import (pack_corr_pyramid,
+                                                corr_lookup_pallas_packed)
+
+    B, C, H, W = 2, 16, 16, 24
+    f1 = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    f2 = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    pyr = build_corr_pyramid(f1, f2)
+    packed, dims = pack_corr_pyramid(pyr)
+    assert packed.shape == (B, H * W, H, sum(w for _, w in dims))
+
+    coords = jnp.asarray(rng.uniform(-4, 28, (B, H, W, 2)).astype(np.float32))
+    want = corr_lookup(pyr, coords, radius=4, method="mxu")
+
+    got_kernel = corr_lookup_pallas_packed(
+        packed, dims, coords.reshape(B, H * W, 2), radius=4, tile_p=128
+    ).reshape(B, H, W, -1)
+    np.testing.assert_allclose(np.asarray(got_kernel), np.asarray(want),
+                               atol=2e-4)
+
+    got_dispatch = corr_lookup(("packed", packed, dims), coords, radius=4)
+    np.testing.assert_allclose(np.asarray(got_dispatch), np.asarray(want),
+                               atol=2e-4)
+
+
+def test_packed_layout_width_guard(rng):
+    from mft_tpu.ops.corr_lookup_pallas import pack_corr_pyramid
+    B, C, H, W = 1, 4, 80, 80  # widths 80+40+20+10 = 150 > 128
+    f = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    pyr = build_corr_pyramid(f, f)
+    import pytest
+    with pytest.raises(ValueError):
+        pack_corr_pyramid(pyr)
