@@ -125,6 +125,12 @@ class StreamingTracker:
         n_delta = len(self.deltas)
         model = self.flower.model
         iters = self.flower.iters
+        # per-delta iteration schedule (C.flow_iters_schedule, documented
+        # speed mode — see tracker/mft.py): the flat clip-major pair batch
+        # repeats the per-delta counts once per clip
+        sched = MFT._iters_schedule(self._single)
+        if sched is not None:
+            iters = tuple(sched) * self.n_clips
 
         def per_clip(mem_imgs, mem_flow, mem_occl, mem_sigma, img,
                      flows, occls, sigmas, slots, valid, wslot):
