@@ -45,9 +45,30 @@ def track_sequence(tracker, video, start_frame, direction="forward",
     return metas
 
 
+def _flow_identity(cfg):
+    """Everything that changes the pairwise flows a config produces.
+
+    Pairwise flows are cached per sequence and shared across tracker
+    configs (reference validates the same, run_MFT_tapvid.py:303-306);
+    the per-delta iteration schedule changes effective flow quality, so it
+    is part of the identity alongside the flow config itself.
+    """
+    fc = cfg.flow_config
+    return (str(fc.model or None), int(fc.flow_iters or 12),
+            repr(fc.raft_params or None),
+            repr(cfg.flow_iters_schedule or None))
+
+
 def run(args):
     configs = [load_config(p) for p in args.trackers]
     config = configs[0]
+    for cfg in configs[1:]:
+        if _flow_identity(cfg) != _flow_identity(config):
+            raise ValueError(
+                "all tracker configs of one run must share the same flow "
+                "setup (model, iters, raft_params, iteration schedule): "
+                "pairwise flows are cached per sequence and reused across "
+                f"configs. {cfg.name} differs from {config.name}.")
     tracker = config.tracker_class(config)
     dataset_conf = load_config(args.dataset)
 
