@@ -64,7 +64,9 @@ class FlowCache:
     def write(self, left_id, right_id, flow, occlusion, sigma):
         key = (int(left_id), int(right_id))
         value = (flow, occlusion, sigma)
-        nbytes = sum(np.asarray(v).nbytes for v in value)
+        # .nbytes works for numpy AND jax arrays — np.asarray on a device
+        # array would force a device->host fetch just to size the entry
+        nbytes = sum(int(v.nbytes) for v in value)
         if self.device_bytes + nbytes <= self.max_device_bytes and _is_device(flow):
             self.device_cache[key] = value
             self.device_bytes += nbytes

@@ -251,6 +251,28 @@ def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4,
                 off += w
             out = _mxu_all_levels(levels, c, radius, out_dtype)
         return out.reshape(B, H, W, -1).astype(out_dtype)
+    if isinstance(pyramid, tuple) and pyramid[0] == "packed_i8":
+        # int8 lane-packed volume: the packed layout's 2-dots-per-tile
+        # contraction at half the DMA bytes again. CPU/tiny shapes unpack,
+        # dequantize the SAME int8 values and use the exact mxu path.
+        _, packed, scales, pdims = pyramid
+        if out_dtype is None:
+            out_dtype = jnp.bfloat16
+        from mft_tpu.ops.corr_lookup_pallas import (
+            corr_lookup_pallas_packed_i8, _tile_p)
+        cap = tile_p or 256
+        if jax.default_backend() == "tpu" and _tile_p(H * W, cap) >= 8:
+            out = corr_lookup_pallas_packed_i8(packed, scales, pdims, c,
+                                               radius, tile_p=cap)
+        else:
+            levels, off = [], 0
+            for i, (h, w) in enumerate(pdims):
+                deq = (packed[:, :, :h, off:off + w].astype(jnp.float32)
+                       * scales[:, i, None, None, None])
+                levels.append(deq)
+                off += w
+            out = _mxu_all_levels(levels, c, radius, jnp.float32)
+        return out.reshape(B, H, W, -1).astype(out_dtype)
     if isinstance(pyramid, tuple) and pyramid[0] == "fold":
         from mft_tpu.ops.corr_lookup_pallas import corr_lookup_pallas_folded
         _, levels, ldims = pyramid

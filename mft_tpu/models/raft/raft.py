@@ -43,7 +43,7 @@ class RAFTParams:
     corr_levels: int = 4
     corr_radius: int = 4
     normalized_features: bool = False
-    corr_method: str = "auto"  # 'auto'|'pallas'|'mxu'|'gather'|'alt'|'win'|'pallas_t'|'fold'|'int8'|'packed'
+    corr_method: str = "auto"  # 'auto'|'pallas'|'mxu'|'gather'|'alt'|'win'|'pallas_t'|'fold'|'int8'|'packed'|'packed_i8'
     compute_dtype: str = "float32"  # 'bfloat16' for mixed-precision inference
     conv_backend: str = "auto"  # 'auto'|'conv'|'matmul' (update.py conv_apply)
     corr_tile: int = 0  # pixel-tile override for the pallas lookup (0 = auto)
@@ -223,7 +223,7 @@ class RAFT(nn.Module):
 
         lookup_method = cfg.corr_method
         if cfg.corr_method in ("alt", "win", "pallas_t", "fold",
-                               "int8", "packed") and self.train_mode:
+                               "int8", "packed", "packed_i8") and self.train_mode:
             # the alt/win/lane-major/folded kernels have no VJP — train with
             # the materialized pyramid and the differentiable standard lookup
             lookup_method = "auto"
@@ -292,6 +292,16 @@ class RAFT(nn.Module):
                                      dtype=cfg.dtype)
             packed, pdims = pack_corr_pyramid(pyr)
             pyramid = ("packed", packed, pdims)
+        elif lookup_method == "packed_i8":
+            # lane-packed layout quantized to int8: the 2-dots-per-tile
+            # contraction at half the DMA bytes again (inference-only
+            # accuracy/speed trade, error <= max|corr|/254 per value)
+            from mft_tpu.ops.corr_lookup_pallas import pack_corr_pyramid_i8
+            pyr = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels,
+                                     cfg.normalized_features,
+                                     dtype=cfg.dtype)
+            packed, scales, pdims = pack_corr_pyramid_i8(pyr)
+            pyramid = ("packed_i8", packed, scales, pdims)
         elif lookup_method == "int8":
             # int8-quantized volume: halves the DMA of the (DMA-bound)
             # per-iteration lookup. Inference-only accuracy/speed trade
@@ -416,7 +426,7 @@ class RAFT(nn.Module):
         cfg = self.cfg
         assert test_mode, "iteration schedules are an inference-only mode"
         if cfg.corr_method not in ("auto", "pallas", "mxu", "gather",
-                                   "packed"):
+                                   "packed", "packed_i8"):
             raise NotImplementedError(
                 "iters schedule requires a sliceable materialized pyramid; "
                 f"corr_method={cfg.corr_method!r} is not supported")
@@ -445,10 +455,15 @@ class RAFT(nn.Module):
             from mft_tpu.ops.corr_lookup_pallas import pack_corr_pyramid
             packed, pdims = pack_corr_pyramid(pyramid)
             pyramid = ("packed", packed, pdims)
-        slice_pyr = (
-            (lambda pyr, mm: ("packed", pyr[1][:mm], pyr[2]))
-            if cfg.corr_method == "packed"
-            else (lambda pyr, mm: [lvl[:mm] for lvl in pyr]))
+            slice_pyr = lambda pyr, mm: ("packed", pyr[1][:mm], pyr[2])
+        elif cfg.corr_method == "packed_i8":
+            from mft_tpu.ops.corr_lookup_pallas import pack_corr_pyramid_i8
+            packed, scales, pdims = pack_corr_pyramid_i8(pyramid)
+            pyramid = ("packed_i8", packed, scales, pdims)
+            slice_pyr = lambda pyr, mm: ("packed_i8", pyr[1][:mm],
+                                         pyr[2][:mm], pyr[3])
+        else:
+            slice_pyr = lambda pyr, mm: [lvl[:mm] for lvl in pyr]
         net = jnp.tanh(cnet[..., : cfg.hidden_dim])
         inp = nn.relu(cnet[..., cfg.hidden_dim:])
         coords0 = initialize_coords(B, H8, W8)

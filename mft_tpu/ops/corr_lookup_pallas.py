@@ -568,8 +568,7 @@ def pack_corr_pyramid(pyramid):
     return jnp.concatenate(cols, axis=-1), tuple(dims)
 
 
-def _kernel_packed(coords_ref, packed_ref, out_ref, *, radius: int,
-                   tile_p: int, dims):
+def _kernel_packed(coords_ref, *rest, radius: int, tile_p: int, dims):
     """All-levels tent lookup over the lane-packed volume: 2 dots per tile.
 
     Math identical to _kernel_pixel_major / _lookup_level_mxu. The x tent
@@ -579,15 +578,29 @@ def _kernel_packed(coords_ref, packed_ref, out_ref, *, radius: int,
     The second dot computes all (L*n)^2 cross products and keeps the L
     diagonal n x n blocks — 4x the MACs of the per-level form, but MACs are
     free here; dot ISSUES are the bottleneck (see pack_corr_pyramid).
+
+    Quantized variant (``rest`` = scales_ref, packed_ref, out_ref): the map
+    arrives int8 (half the HBM DMA of bf16) and is widened to bf16 in VMEM —
+    quantized integer values (|v| <= 127) are EXACT in bf16, so the tent
+    contraction is exact given the quantized volume; dequantization is one
+    scalar multiply per level on the diagonal output block
+    (scales_ref[b, lvl] = max|corr_lvl| / 127).
     """
     n = 2 * radius + 1
     L = len(dims)
+    quantized = len(rest) == 3
+    if quantized:
+        scales_ref, packed_ref, out_ref = rest
+        b = pl.program_id(0)
+        dt = jnp.bfloat16
+    else:
+        packed_ref, out_ref = rest
+        dt = packed_ref.dtype
     c = coords_ref[0]                     # (TILE_P, 2) f32, level-0 scale
     cx = c[:, 0][:, None, None]           # (TILE_P, 1, 1)
     cy = c[:, 1][:, None, None]
     H0 = packed_ref.shape[2]
     Wp = packed_ref.shape[3]
-    dt = packed_ref.dtype
 
     wy_parts, wx_parts = [], []
     off = 0
@@ -609,6 +622,8 @@ def _kernel_packed(coords_ref, packed_ref, out_ref, *, radius: int,
     wx = jnp.concatenate(wx_parts, axis=1).astype(dt)     # (tp, L*n, Wp)
 
     x = packed_ref[0]                                     # (tp, H0, Wp)
+    if quantized:
+        x = x.astype(dt)                  # int8 -> bf16 widen in VMEM
     # T[p, l*n+j, lane] = sum_y Wy[p, l*n+j, y] map[p, y, lane]
     t = jax.lax.dot_general(
         wy, x,
@@ -622,9 +637,12 @@ def _kernel_packed(coords_ref, packed_ref, out_ref, *, radius: int,
         preferred_element_type=jnp.float32)
     for lvl in range(L):
         base = lvl * n * n
+        blk = s[:, lvl * n: lvl * n + n, lvl * n: lvl * n + n]
+        if quantized:
+            blk = blk * scales_ref[b, lvl]
         for i in range(n):
             out_ref[0, :, base + i * n: base + (i + 1) * n] = (
-                s[:, lvl * n + i, lvl * n: lvl * n + n].astype(out_ref.dtype))
+                blk[:, i, :].astype(out_ref.dtype))
 
 
 def corr_lookup_pallas_packed(packed, dims, coords, radius: int = 4,
@@ -666,6 +684,82 @@ def corr_lookup_pallas_packed(packed, dims, coords, radius: int = 4,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(coords.astype(jnp.float32), packed)
+
+
+def pack_corr_pyramid_i8(pyramid):
+    """pack_corr_pyramid with per-(pair, level) int8 quantization.
+
+    Halves the lane-packed volume's HBM bytes again (int8 vs bf16) — the
+    fallback if the packed lookup turns out DMA-bound. Quantization error
+    is bounded by max|corr_lvl|/254 per value; the tent contraction itself
+    is exact on the quantized values (see _kernel_packed's quantized mode).
+
+    returns: (packed int8 (B, P, H0, sum_w), scales (B, L) f32 with
+    value = q * scale, dims tuple of (h_l, w_l)).
+    """
+    B, P, H0, W0 = pyramid[0].shape
+    cols, dims, scales = [], [], []
+    for arr in pyramid:
+        h, w = arr.shape[2:]
+        dims.append((h, w))
+        a = arr.astype(jnp.float32)
+        mx = jnp.maximum(jnp.max(jnp.abs(a), axis=(1, 2, 3)), 1e-12)  # (B,)
+        q = jnp.clip(jnp.round(a * (127.0 / mx)[:, None, None, None]),
+                     -127.0, 127.0).astype(jnp.int8)
+        if h < H0:
+            # zero row padding => exact zeros-padding bilinear semantics
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, H0 - h), (0, 0)))
+        cols.append(q)
+        scales.append(mx / 127.0)
+    if sum(w for _, w in dims) > 128:
+        raise ValueError(
+            f"packed layout needs sum of level widths <= 128 lanes, got "
+            f"{[w for _, w in dims]}")
+    return (jnp.concatenate(cols, axis=-1), jnp.stack(scales, axis=1),
+            tuple(dims))
+
+
+def corr_lookup_pallas_packed_i8(packed_i8, scales, dims, coords,
+                                 radius: int = 4, tile_p: int = 256):
+    """Lookup over the int8 lane-packed volume (_kernel_packed, quantized).
+
+    args:
+      packed_i8: (B, P, H0, sum_w) int8 from :func:`pack_corr_pyramid_i8`.
+      scales: (B, L) float32 per-(pair, level) dequantization scales.
+      dims: tuple of per-level (h_l, w_l).
+      coords: (B, P, 2) float32 (x, y) centers at level-0 scale.
+    returns: (B, P, L*(2r+1)^2) bfloat16.
+    """
+    B, P, _, _ = packed_i8.shape
+    n = 2 * radius + 1
+    L = len(dims)
+    tp = _tile_p(P, tile_p)
+    if tp == 0:
+        raise ValueError(f"P={P} has no power-of-two tiling")
+
+    in_specs = [
+        pl.BlockSpec((1, tp, 2), lambda b, p: (b, p, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, L), lambda b, p: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, tp, packed_i8.shape[2], packed_i8.shape[3]),
+                     lambda b, p: (b, p, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((1, tp, L * n * n), lambda b, p: (b, p, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel_packed, radius=radius, tile_p=tp,
+                               dims=tuple(dims))
+    return pl.pallas_call(
+        kernel,
+        grid=(B, P // tp),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, P, L * n * n), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(coords.astype(jnp.float32), scales.astype(jnp.float32), packed_i8)
 
 
 # NOTE on manual-DMA row windowing: a chunked HBM->VMEM DMA variant of the

@@ -286,8 +286,7 @@ class MFT:
                 c = cands[i]
                 if (cache is not None and c.valid and c.cacheable
                         and i not in cached):
-                    cache.write(c.left_id, t, np.asarray(f[k]),
-                                np.asarray(o[k]), np.asarray(s[k]))
+                    cache.write(c.left_id, t, f[k], o[k], s[k])
 
         H, W = self.img_H, self.img_W
         zero = (jnp.zeros((H, W, 2), jnp.float32), jnp.zeros((H, W), jnp.float32),
@@ -335,18 +334,22 @@ class MFT:
                 img, slots, valid, wslot)
             for i, c in enumerate(cands):
                 if c.valid and c.cacheable and i not in cached:
-                    cache.write(c.left_id, t, np.asarray(flows[i]),
-                                np.asarray(occls[i]), np.asarray(sigmas[i]))
+                    # device-array slices: the cache's device tier keeps them
+                    # in HBM (spilling to RAM/disk converts then) — a
+                    # np.asarray here would fetch ~4 MB/pair to host per frame
+                    cache.write(c.left_id, t, flows[i], occls[i], sigmas[i])
         else:
             compute_idx = tuple(i for i, c in enumerate(cands)
                                 if c.valid and i not in cached)
             H, W = self.img_H, self.img_W
-            zf = np.zeros((H, W, 2), np.float32)
-            zs = np.zeros((H, W), np.float32)
+            zf = jnp.zeros((H, W, 2), jnp.float32)
+            zs = jnp.zeros((H, W), jnp.float32)
             inj = [cached.get(i, (zf, zs, zs)) for i in range(N)]
-            inj_flows = jnp.asarray(np.stack([np.asarray(p[0]) for p in inj]))
-            inj_occls = jnp.asarray(np.stack([np.asarray(p[1]) for p in inj]))
-            inj_sigmas = jnp.asarray(np.stack([np.asarray(p[2]) for p in inj]))
+            # jnp.asarray passes device-tier hits through untouched and
+            # uploads RAM/disk-tier hits; stacking stays on device
+            inj_flows = jnp.stack([jnp.asarray(p[0]) for p in inj])
+            inj_occls = jnp.stack([jnp.asarray(p[1]) for p in inj])
+            inj_sigmas = jnp.stack([jnp.asarray(p[2]) for p in inj])
             step = self._get_fused_frame_inject(compute_idx)
             (self.mem_imgs, self.mem_flow, self.mem_occl, self.mem_sigma,
              self.mem_fmap, self.mem_cnet, result,
@@ -357,8 +360,7 @@ class MFT:
             for i in compute_idx:
                 c = cands[i]
                 if c.cacheable:
-                    cache.write(c.left_id, t, np.asarray(flows[i]),
-                                np.asarray(occls[i]), np.asarray(sigmas[i]))
+                    cache.write(c.left_id, t, flows[i], occls[i], sigmas[i])
 
         meta = SimpleNamespace()
         meta.result = result

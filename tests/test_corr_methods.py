@@ -67,6 +67,37 @@ def test_packed_lookup_matches_mxu(rng):
                                atol=2e-4)
 
 
+def test_packed_i8_lookup_close_to_exact(rng):
+    """The int8 lane-packed kernel (interpret mode on CPU) and its
+    dequantize-unpack mxu fallback must match the exact lookup to within
+    the quantization bound."""
+    from mft_tpu.ops.corr_lookup_pallas import (pack_corr_pyramid_i8,
+                                                corr_lookup_pallas_packed_i8)
+
+    B, C, H, W = 2, 16, 16, 24
+    f1 = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    f2 = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    pyr = build_corr_pyramid(f1, f2)
+    packed, scales, dims = pack_corr_pyramid_i8(pyr)
+    assert packed.dtype == jnp.int8 and scales.shape == (B, len(pyr))
+    assert packed.shape == (B, H * W, H, sum(w for _, w in dims))
+
+    coords = jnp.asarray(rng.uniform(-4, 28, (B, H, W, 2)).astype(np.float32))
+    want = corr_lookup(pyr, coords, radius=4, method="mxu")
+    bound = float(np.max(np.abs(np.asarray(pyr[0], np.float32)))) / 200.0
+
+    got_kernel = corr_lookup_pallas_packed_i8(
+        packed, scales, dims, coords.reshape(B, H * W, 2), radius=4,
+        tile_p=128).reshape(B, H, W, -1)
+    np.testing.assert_allclose(np.asarray(got_kernel, np.float32),
+                               np.asarray(want, np.float32), atol=4 * bound)
+
+    got_dispatch = corr_lookup(("packed_i8", packed, scales, dims), coords,
+                               radius=4)
+    np.testing.assert_allclose(np.asarray(got_dispatch, np.float32),
+                               np.asarray(want, np.float32), atol=4 * bound)
+
+
 def test_packed_layout_width_guard(rng):
     from mft_tpu.ops.corr_lookup_pallas import pack_corr_pyramid
     B, C, H, W = 1, 4, 80, 80  # widths 80+40+20+10 = 150 > 128
