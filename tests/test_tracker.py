@@ -182,6 +182,30 @@ def test_flow_cache_roundtrip():
     assert_shift(interior(np.asarray(meta.result.flow)), 5)
 
 
+def test_flow_cache_keeps_writes_on_device():
+    """Tracker cache writes must store jax arrays in the device tier — a
+    numpy round trip would force a device->host fetch of every pairwise
+    flow per frame (through the remote-TPU tunnel, milliseconds per pair)."""
+    from mft_tpu.io.cache import FlowCache, _is_device
+
+    cache = FlowCache(None, max_ram_mb=100, max_device_mb=100)
+    tracker = make_tracker([np.inf, 1, 2], sigma_scale=0.1)
+    tracker.init(frame(0), flow_cache=cache)
+    for t in range(1, 5):
+        meta = tracker.track(frame(t))
+    assert len(cache.device_cache) > 0
+    for flow, occl, sigma in cache.device_cache.values():
+        assert _is_device(flow) and _is_device(occl) and _is_device(sigma)
+    # warm re-track serves hits from the device tier
+    hits_before = cache.hits
+    tracker2 = make_tracker([np.inf, 1, 2], sigma_scale=0.1)
+    tracker2.init(frame(0), flow_cache=cache)
+    for t in range(1, 5):
+        meta = tracker2.track(frame(t))
+    assert cache.hits > hits_before
+    assert_shift(interior(np.asarray(meta.result.flow)), 4)
+
+
 def test_point_tracking_adapter():
     tracker = make_tracker([np.inf, 1], sigma_scale=0.1)
     tracker.init(frame(0))
