@@ -99,10 +99,13 @@ def test_packed_i8_lookup_close_to_exact(rng):
 
 
 def test_packed_layout_width_guard(rng):
-    from mft_tpu.ops.corr_lookup_pallas import pack_corr_pyramid
+    from mft_tpu.ops.corr_lookup_pallas import (pack_corr_pyramid,
+                                                pack_corr_pyramid_i8)
     B, C, H, W = 1, 4, 80, 80  # widths 80+40+20+10 = 150 > 128
     f = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
     pyr = build_corr_pyramid(f, f)
     import pytest
     with pytest.raises(ValueError):
         pack_corr_pyramid(pyr)
+    with pytest.raises(ValueError):
+        pack_corr_pyramid_i8(pyr)
