@@ -13,8 +13,8 @@ Two modes are measured:
   inf/32/16/8/4/2/1); per-pair math identical to a uniform run of that
   pair's count (tests/test_iter_schedule.py).
 
-The headline "value" is the fast mode; "parity_fps" reports the uniform-12
-mode in the same line. The model runs with deterministic random-init weights
+The headline "value" is the better of the two modes (normally the fast
+mode); "parity_fps"/"fast_fps" report both in the same line. The model runs with deterministic random-init weights
 (the trained checkpoint is not distributed, same as the reference repo) —
 FPS does not depend on weight values. The persistent XLA compilation cache
 under .jax_cache makes repeated runs skip the first-compile cost.

@@ -53,10 +53,17 @@ def _flow_identity(cfg):
     the per-delta iteration schedule changes effective flow quality, so it
     is part of the identity alongside the flow config itself.
     """
+    def stable(v):
+        # dict repr is insertion-order dependent; two semantically identical
+        # raft_params written in different key order must compare equal
+        if hasattr(v, "items"):
+            return repr(sorted((str(k), stable(x)) for k, x in v.items()))
+        return repr(v)
+
     fc = cfg.flow_config
     return (str(fc.model or None), int(fc.flow_iters or 12),
-            repr(fc.raft_params or None),
-            repr(cfg.flow_iters_schedule or None))
+            stable(fc.raft_params or None),
+            stable(cfg.flow_iters_schedule or None))
 
 
 def run(args):

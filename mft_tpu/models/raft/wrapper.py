@@ -51,6 +51,7 @@ def raft_params_from_config(raft_kwargs) -> RAFTParams:
         normalized_features=bool(get("normalized_features", False)),
         relu_uncertainty=bool(get("relu_uncertainty", False)),
         corr_method=str(get("corr_method", "auto")),
+        corr_tile=int(get("corr_tile", 0) or 0),
         compute_dtype=str(get("compute_dtype", "float32")),
         conv_backend=str(get("conv_backend", "auto")),
         ou_last_iter_only=bool(get("OU_last_iter_only", False)),
@@ -99,16 +100,21 @@ class RAFTFlow:
         self._jitted = {}
 
     # ------------------------------------------------------------------ #
-    def padded_forward(self, H, W):
+    def padded_forward(self, H, W, iters_schedule=None):
         """The UNJITTED padded-forward closure for (·, H, W, 3) inputs.
 
         Exposed so callers (the tracker's fused per-frame step) can compose
         the whole frame into one jit — per-op dispatch through a remote
         device tunnel costs milliseconds each, so one call per frame beats
         ~30 small ones.
+
+        ``iters_schedule`` (optional tuple, one entry per batch pair): the
+        per-pair iteration-count speed mode, as :meth:`features_forward`.
         """
         (pt, pb), (pl, pr) = pad_to_8(H, W)
         model, iters = self.model, self.iters
+        if iters_schedule is not None:
+            iters = tuple(int(i) for i in iters_schedule)
 
         def fwd(variables, image1, image2, init_flow=None):
             # replicate-pad to /8 (reference InputPadder, utils.py:18-19)
@@ -188,24 +194,27 @@ class RAFTFlow:
 
         return fwd
 
-    def _forward_fn(self, B, H, W, with_init):
+    def _forward_fn(self, B, H, W, with_init, iters_schedule=None):
         """Build + cache the jitted padded-forward for a given shape."""
-        key = (B, H, W, with_init)
+        key = (B, H, W, with_init, iters_schedule)
         if key in self._jitted:
             return self._jitted[key]
-        jitted = jax.jit(self.padded_forward(H, W))
+        jitted = jax.jit(self.padded_forward(H, W, iters_schedule))
         self._jitted[key] = jitted
         return jitted
 
     # ------------------------------------------------------------------ #
-    def forward_batch(self, images1, images2, init_flow=None):
+    def forward_batch(self, images1, images2, init_flow=None,
+                      iters_schedule=None):
         """Batched flow: (N, H, W, 3) RGB float [0,255] -> (flow, occl, sigma).
 
         returns: flow (N, H, W, 2), occlusion (N, H, W), sigma (N, H, W),
         all on-device.
         """
         N, H, W, _ = images1.shape
-        fwd = self._forward_fn(N, H, W, init_flow is not None)
+        if iters_schedule is not None:
+            iters_schedule = tuple(int(i) for i in iters_schedule)
+        fwd = self._forward_fn(N, H, W, init_flow is not None, iters_schedule)
         if init_flow is not None:
             return fwd(self.variables, images1, images2, init_flow)
         return fwd(self.variables, images1, images2)

@@ -280,7 +280,17 @@ class MFT:
             slots = jnp.asarray([cands[i].slot for i in compute_idx], jnp.int32)
             left = jnp.take(self.mem_imgs, slots, axis=0)
             right = jnp.broadcast_to(img, (len(compute_idx), *img.shape))
-            f, o, s = self.flower.forward_batch(left, right)
+            # honor the per-delta iteration schedule on this (unfused) path
+            # too — the profile/timer mode must measure the configured mode,
+            # and cached flows must match the schedule that keys them
+            # (eval/runner.py _flow_identity)
+            sched = self._iters_schedule()
+            if sched is not None:
+                f, o, s = self.flower.forward_batch(
+                    left, right,
+                    iters_schedule=tuple(sched[i] for i in compute_idx))
+            else:  # plain call: fake/test flow backends need no kwarg
+                f, o, s = self.flower.forward_batch(left, right)
             for k, i in enumerate(compute_idx):
                 comp[i] = (f[k], o[k], s[k])
                 c = cands[i]

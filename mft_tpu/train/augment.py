@@ -55,11 +55,17 @@ _JPEG_SEVERITY_QUALITY = {1: 25, 2: 18, 3: 15}
 
 
 def jpeg_corrupt(img, severity, ):
-    """Encode+decode ``img`` (uint8 RGB) as JPEG at the given severity."""
+    """Encode+decode ``img`` (uint8 RGB) as JPEG at the given severity.
+
+    cv2 assumes BGR channel order, but training frames are RGB — flip for
+    the codec so chroma subsampling degrades the same channels as the
+    reference's RGB-correct PIL/imagecorruptions pipeline.
+    """
     quality = _JPEG_SEVERITY_QUALITY[int(severity)]
-    ok, buf = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, quality])
+    ok, buf = cv2.imencode(".jpg", img[:, :, ::-1],
+                           [cv2.IMWRITE_JPEG_QUALITY, quality])
     assert ok
-    return cv2.imdecode(buf, cv2.IMREAD_COLOR)
+    return cv2.imdecode(buf, cv2.IMREAD_COLOR)[:, :, ::-1]
 
 
 class BlendAugmenter:

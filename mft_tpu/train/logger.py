@@ -25,10 +25,17 @@ SUM_FREQ = 10
 
 
 def _to_numpy_first(x):
-    """(B, H, W, C) or (H, W, C) device/host array -> (H, W, C) numpy f32."""
+    """(B, H, W[, C]) or (H, W[, C]) device/host array -> (H, W, C) numpy f32.
+
+    A 3D array is ambiguous: (1, H, W) batched masks (e.g. the loop's
+    ``valid`` slice) have a singleton LEADING axis, while (H, W, C) images
+    have a small TRAILING channel axis — disambiguate on shape.
+    """
     a = np.asarray(x).astype(np.float32)
     if a.ndim == 4:
         a = a[0]
+    if a.ndim == 3 and a.shape[0] == 1 and a.shape[-1] > 4:
+        a = a[0]  # (1, H, W) batched 2D map, not (H, W, C)
     if a.ndim == 2:
         a = a[..., None]
     return a
@@ -69,6 +76,7 @@ class TrainLogger:
         self._scalar_file = open(self.run_dir / "scalars.jsonl", "a")
         self.total_steps = 0
         self.running = {}
+        self._pushed = 0
         self._t0 = time.time()
         self.writer = None
         self._use_tb = use_tensorboard
@@ -84,21 +92,24 @@ class TrainLogger:
 
     # -- scalars ----------------------------------------------------------- #
     def _flush_running(self, lr=None):
-        means = {k: v / SUM_FREQ for k, v in self.running.items()}
-        if lr is not None:
+        n = max(self._pushed, 1)  # actual pushes, not SUM_FREQ: a resumed
+        means = {k: v / n for k, v in self.running.items()}  # run's first
+        if lr is not None:  # flush covers fewer than SUM_FREQ steps
             means["lr"] = lr
         self.write_dict(means)
-        rate = (time.time() - self._t0) / SUM_FREQ
+        rate = (time.time() - self._t0) / n
         self._t0 = time.time()
         logger.info(
             "step %6d %s (%.2f s/step)", self.total_steps,
             " ".join(f"{k.split('/')[-1]}={v:.4f}" for k, v in means.items()),
             rate)
         self.running = {}
+        self._pushed = 0
 
     def push(self, metrics, lr=None):
         """Accumulate one step's metrics; auto-flush every SUM_FREQ steps."""
         self.total_steps += 1
+        self._pushed = getattr(self, "_pushed", 0) + 1
         for k, v in metrics.items():
             self.running[k] = self.running.get(k, 0.0) + float(v)
         if self.total_steps % SUM_FREQ == 0:

@@ -161,9 +161,13 @@ def train(args):
                            state["variables"])
             # image panels from the current batch (reference train.py:444-465)
             try:
-                preds = model.apply(state["variables"], batch[0][:1],
-                                    batch[1][:1], iters=args.iters,
-                                    test_mode=False)
+                # train_mode models update batch_stats on apply; collect and
+                # discard the mutation instead of tripping flax's immutable-
+                # collection error (the train step does the same, above)
+                preds, _ = model.apply(state["variables"], batch[0][:1],
+                                       batch[1][:1], iters=args.iters,
+                                       test_mode=False,
+                                       mutable=["batch_stats"])
                 tlog.write_prediction_panels(
                     tuple(b[:1] if b is not None else None for b in batch),
                     preds)
