@@ -50,6 +50,16 @@ class Config:
         return False
 
 
+def cfg_value(value, default):
+    """Missing-vs-falsy config reads: ``cfg.key or default`` swallows an
+    EXPLICIT falsy setting (0, 0.0, False). Treat only the empty ``Config``
+    a missing attribute returns (or None) as missing.
+    """
+    if value is None or isinstance(value, Config):
+        return default
+    return value
+
+
 def load_config(path):
     """Load a .py config file by path and return its ``get_config()`` result."""
     path = Path(path)

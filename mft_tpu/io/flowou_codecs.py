@@ -255,10 +255,15 @@ def _read_packed(dtype):
 # -- .stepan16 export ------------------------------------------------------ #
 
 def _write_stepan16(path, flow, occlusion, sigma):
+    # Reference quirk kept for byte compatibility (io.py:487-489): the
+    # PNG-ENCODED BUFFER itself is written via imwrite, producing an Nx1
+    # grayscale PNG whose pixels are the bytes of the inner (H, W, 3)
+    # packed-plane PNG — consumers double-decode.
     base = str(path)[: -len(".stepan16")]
     fx = _encode_channel(flow[..., 0], np.uint16)
     fy = _encode_channel(flow[..., 1], np.uint16)
-    cv2.imwrite(base + "_flow_x.png", cv2.imdecode(fx["data"], cv2.IMREAD_UNCHANGED))
-    cv2.imwrite(base + "_flow_y.png", cv2.imdecode(fy["data"], cv2.IMREAD_UNCHANGED))
+    as_col = lambda buf: np.asarray(buf, np.uint8).reshape(-1, 1)  # (N, 1)
+    cv2.imwrite(base + "_flow_x.png", as_col(fx["data"]))
+    cv2.imwrite(base + "_flow_y.png", as_col(fy["data"]))
     with open(base + "_limits.txt", "w") as f:
         f.write(f"{fx['min']} {fx['max']} {fy['min']} {fy['max']}")

@@ -34,6 +34,21 @@ def avg_pool2x2(x: jnp.ndarray) -> jnp.ndarray:
     return x.mean(axis=(-3, -1))
 
 
+def avg_pool2x2_nhwc(f: jnp.ndarray) -> jnp.ndarray:
+    """2x2/2 average pool over the H, W dims of (B, H, W, C) features, floor
+    (VALID) semantics — torch avg_pool2d parity (reference corr.py:26-28).
+
+    THE shared feature-pooling cascade step: every corr_method's pyramid
+    builder (XLA einsum, pallas folded/lane-major, alt/win on-the-fly) must
+    pool through this one function so the 'pooling features == pooling the
+    volume' parity argument holds bit-identically across methods.
+    """
+    B, h, w, C = f.shape
+    c = f[:, : h - h % 2, : w - w % 2]
+    s = c.shape
+    return c.reshape(B, s[1] // 2, 2, s[2] // 2, 2, C).mean(axis=(2, 4))
+
+
 def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
                        num_levels: int = 4,
                        normalized_features: bool = False,
@@ -66,8 +81,7 @@ def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
     h, w = H, W
     for lvl in range(num_levels):
         if lvl > 0:
-            f2 = avg_pool2x2(jnp.moveaxis(f2, -1, 1))  # pool over (H, W)
-            f2 = jnp.moveaxis(f2, 1, -1)
+            f2 = avg_pool2x2_nhwc(f2)
             h, w = f2.shape[1], f2.shape[2]
         corr_l = jnp.einsum("bpc,bqc->bpq", f1, f2.reshape(B, h * w, C),
                             preferred_element_type=jnp.float32)

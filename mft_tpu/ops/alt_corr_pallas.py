@@ -31,15 +31,13 @@ def build_feature_pyramid(fmap2, num_levels: int = 4, dtype=jnp.bfloat16):
     Pooling features == pooling the correlation volume (the dot is linear),
     matching reference CorrBlock pyramid semantics (corr.py:26-28).
     """
+    from mft_tpu.models.raft.corr import avg_pool2x2_nhwc
     B, H, W, C = fmap2.shape
     out = []
     f = fmap2
     for lvl in range(num_levels):
         if lvl > 0:
-            h, w = f.shape[1:3]
-            f = f[:, : h - h % 2, : w - w % 2]
-            s = f.shape
-            f = f.reshape(B, s[1] // 2, 2, s[2] // 2, 2, C).mean(axis=(2, 4))
+            f = avg_pool2x2_nhwc(f)
         h, w = f.shape[1:3]
         out.append((f.reshape(B, h * w, C).astype(dtype), (h, w)))
     return out
@@ -146,15 +144,13 @@ def build_feature_pyramid_slab(fmap2, num_levels: int = 4,
     (lane index = f*w + x) so narrow pyramid levels still fill the 128-wide
     vector registers; the y dim stays dynamically row-sliceable.
     """
+    from mft_tpu.models.raft.corr import avg_pool2x2_nhwc
     B, H, W, C = fmap2.shape
     out = []
     f = fmap2
     for lvl in range(num_levels):
         if lvl > 0:
-            h, w = f.shape[1:3]
-            f = f[:, : h - h % 2, : w - w % 2]
-            s = f.shape
-            f = f.reshape(B, s[1] // 2, 2, s[2] // 2, 2, C).mean(axis=(2, 4))
+            f = avg_pool2x2_nhwc(f)
         h, w = f.shape[1:3]
         fold = _row_fold(h, w)
         packed = (f.transpose(0, 1, 3, 2)               # (B, h, C, w)
@@ -184,13 +180,17 @@ def _win_kernel(coords_ref, f1_ref, *rest, radius: int, tile_p: int,
         ywin = ywins[lvl]
         base = lvl * n * n
 
-        # dynamic row window [y0, y0+ywin): an 8-aligned slab covering the
+        # dynamic row window [y0, y0+ywin): a fold-aligned slab covering the
         # tile's +-radius sample rows; tiles whose spread exceeds the window
-        # fall back to all rows — same fori_loop, traced bounds
-        if ywin < h and ywin % fold == 0:
+        # fall back to all rows — same fori_loop, traced bounds.
+        # y0 MUST be fold-aligned: flooring y0f // fold would silently move
+        # the window start below y0f while `fits` was checked against
+        # [y0f, y0f + ywin) — the top sampled rows would never be contracted.
+        if ywin < h and ywin % fold == 0 and h % fold == 0:
             y_lo = jnp.min(sy) - (radius + 1.0)
             y_hi = jnp.max(sy) + radius + 1.0
-            y0f = jnp.clip(jnp.floor(y_lo / 8.0) * 8.0, 0.0, float(h - ywin))
+            y0f = jnp.clip(jnp.floor(y_lo / fold) * fold, 0.0,
+                           float(h - ywin))
             fits = y_hi <= y0f + (ywin - 1)
             y0p = jnp.where(fits, y0f.astype(jnp.int32) // fold, 0)
             count = jnp.where(fits, ywin // fold, h // fold)

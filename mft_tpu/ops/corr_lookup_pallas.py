@@ -95,7 +95,10 @@ def _kernel_pixel_major(coords_ref, *rest, radius: int, tile_p: int,
             sy = cy[:, :, 0] * inv                       # (TILE_P, 1)
             y_lo = jnp.min(sy) - (radius + 1.0)
             y_hi = jnp.max(sy) + radius + 1.0
-            y0f = jnp.clip(jnp.floor(y_lo / 8.0) * 8.0, 0.0, float(h - ywin))
+            # clip bound floored to the 8-row alignment too: clipping to a
+            # non-multiple h - ywin would break the multiple_of declaration
+            hi8 = float(((h - ywin) // 8) * 8)
+            y0f = jnp.clip(jnp.floor(y_lo / 8.0) * 8.0, 0.0, hi8)
             fits = y_hi <= y0f + (ywin - 1)
             y0 = pl.multiple_of(y0f.astype(jnp.int32), 8)
 
@@ -271,8 +274,10 @@ def _kernel_folded(coords_ref, *rest, radius: int, tile_p: int, dims,
             sy = cy[:, :, 0] * inv                       # (TILE_P, 1)
             y_lo = jnp.min(sy) - (radius + 1.0)
             y_hi = jnp.max(sy) + radius + 1.0
-            y0f = jnp.clip(jnp.floor(y_lo / align) * align, 0.0,
-                           float(h - ywin))
+            # clip bound floored to the alignment too (a non-multiple
+            # h - ywin would break the multiple_of declaration below)
+            hi = float(((h - ywin) // align) * align)
+            y0f = jnp.clip(jnp.floor(y_lo / align) * align, 0.0, hi)
             fits = y_hi <= y0f + (ywin - 1)
             q0 = pl.multiple_of((y0f.astype(jnp.int32)) // fold, 8)
 
@@ -387,15 +392,14 @@ def build_corr_pyramid_pallas(fmap1, fmap2, num_levels: int = 4,
                                   keepdims=True).astype(dtype)
 
     # pool FEATURES per level (cheap; pooling commutes with the dot)
+    from mft_tpu.models.raft.corr import avg_pool2x2_nhwc
     f2_levels = []
     dims = []
     cur = f2
     h, w = H, W
     for lvl in range(num_levels):
         if lvl > 0:
-            c = cur[:, : h - h % 2, : w - w % 2]
-            s = c.shape
-            cur = c.reshape(B, s[1] // 2, 2, s[2] // 2, 2, C).mean(axis=(2, 4))
+            cur = avg_pool2x2_nhwc(cur)
             h, w = cur.shape[1], cur.shape[2]
         flat = cur.reshape(B, h * w, C)
         if h * w < 128:
@@ -838,14 +842,13 @@ def build_corr_pyramid_t(fmap1, fmap2, num_levels: int = 4,
     # pool FEATURES, not volumes (dot products are linear — bit-equivalent
     # to pooling the (B, y, x, P) volume incl. floor/VALID truncation, and
     # ~10x less HBM traffic; same trick as build_corr_pyramid)
+    from mft_tpu.models.raft.corr import avg_pool2x2_nhwc
     scale = 1.0 / jnp.sqrt(jnp.float32(C))
     pyramid = []
     h, w = H, W
     for lvl in range(num_levels):
         if lvl > 0:
-            f2c = f2[:, : h - h % 2, : w - w % 2]
-            s = f2c.shape
-            f2 = f2c.reshape(B, s[1] // 2, 2, s[2] // 2, 2, C).mean(axis=(2, 4))
+            f2 = avg_pool2x2_nhwc(f2)
             h, w = f2.shape[1], f2.shape[2]
         corr_l = jnp.einsum("bqc,bpc->bqp", f2.reshape(B, h * w, C), f1,
                             preferred_element_type=jnp.float32)

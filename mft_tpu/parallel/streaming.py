@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from mft_tpu.config import cfg_value
 from mft_tpu.core.flowou import FlowOU
 from mft_tpu.tracker.fused import chain_select
 from mft_tpu.tracker.mft import MFT
@@ -121,7 +122,7 @@ class StreamingTracker:
     def _get_step(self):
         if self._step is not None:
             return self._step
-        occl_thresh = float(self.C.occlusion_threshold or 0.02)
+        occl_thresh = float(cfg_value(self.C.occlusion_threshold, 0.02))
         n_delta = len(self.deltas)
         model = self.flower.model
         iters = self.flower.iters
@@ -183,7 +184,7 @@ class StreamingTracker:
         ``encode`` method (e.g. test fakes): full pair-batched forward."""
         if getattr(self, "_step_img", None) is not None:
             return self._step_img
-        occl_thresh = float(self.C.occlusion_threshold or 0.02)
+        occl_thresh = float(cfg_value(self.C.occlusion_threshold, 0.02))
         n_delta = len(self.deltas)
         model = self.flower.model
         iters = self.flower.iters

@@ -32,6 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from mft_tpu.config import cfg_value
 from mft_tpu.core.flowou import FlowOU, identity_flowou
 from mft_tpu.tracker.fused import chain_select
 
@@ -249,9 +250,10 @@ class MFT:
                 out.append(_Candidate(delta, li, li % self.ring, True, True))
         return out
 
-    def _acquire_flows(self, img, cands, t):
-        """Pairwise flows for all candidates: cache reads + batched compute."""
-        N = len(cands)
+    def _read_cache_hits(self, cands, t):
+        """One cache policy for both tracking paths: read every valid
+        cacheable candidate; report whether ALL valid finite-delta pairs hit
+        (the condition for skipping the full-batch forward)."""
         cache = self.flow_cache
         cached = {}
         if cache is not None:
@@ -260,10 +262,17 @@ class MFT:
                     hit = cache.read(c.left_id, t)
                     if hit is not None:
                         cached[i] = hit
-
         finite_valid = [i for i, c in enumerate(cands)
                         if c.valid and np.isfinite(c.delta)]
-        all_finite_hit = cache is not None and all(i in cached for i in finite_valid)
+        all_finite_hit = (cache is not None
+                          and all(i in cached for i in finite_valid))
+        return cached, all_finite_hit
+
+    def _acquire_flows(self, img, cands, t):
+        """Pairwise flows for all candidates: cache reads + batched compute."""
+        N = len(cands)
+        cache = self.flow_cache
+        cached, all_finite_hit = self._read_cache_hits(cands, t)
 
         if all_finite_hit:
             compute_idx = [i for i, c in enumerate(cands)
@@ -319,16 +328,7 @@ class MFT:
         """
         cache = self.flow_cache
         N = len(cands)
-        cached = {}
-        for i, c in enumerate(cands):
-            if c.valid and c.cacheable:
-                hit = cache.read(c.left_id, t)
-                if hit is not None:
-                    cached[i] = hit
-
-        finite_valid = [i for i, c in enumerate(cands)
-                        if c.valid and np.isfinite(c.delta)]
-        all_finite_hit = all(i in cached for i in finite_valid)
+        cached, all_finite_hit = self._read_cache_hits(cands, t)
 
         slots, valid, wslot = self._step_indices(cands, t)
 
@@ -423,7 +423,7 @@ class MFT:
         cache = self._frame_fn_cache()
         if key in cache:
             return cache[key]
-        occl_thresh = float(self.C.occlusion_threshold or 0.02)
+        occl_thresh = float(cfg_value(self.C.occlusion_threshold, 0.02))
         enc = self.flower.padded_encode(self.img_H, self.img_W)
         fwd = (self.flower.features_forward(self.img_H, self.img_W)
                if sched is None else
@@ -459,7 +459,7 @@ class MFT:
         cache = self._frame_fn_cache()
         if key in cache:
             return cache[key]
-        occl_thresh = float(self.C.occlusion_threshold or 0.02)
+        occl_thresh = float(cfg_value(self.C.occlusion_threshold, 0.02))
         enc = self.flower.padded_encode(self.img_H, self.img_W)
         fwd = (self.flower.features_forward(self.img_H, self.img_W)
                if sched is None else
@@ -559,7 +559,7 @@ class MFT:
         cache = self._frame_fn_cache()
         if key in cache:
             return cache[key]
-        occl_thresh = float(self.C.occlusion_threshold or 0.02)
+        occl_thresh = float(cfg_value(self.C.occlusion_threshold, 0.02))
         enc = self.flower.padded_encode(self.img_H, self.img_W)
         fwd = (self.flower.features_forward(self.img_H, self.img_W)
                if sched is None else
@@ -603,7 +603,7 @@ class MFT:
     def _get_step(self):
         if self._step_fn is not None:
             return self._step_fn
-        occl_thresh = float(self.C.occlusion_threshold or 0.02)
+        occl_thresh = float(cfg_value(self.C.occlusion_threshold, 0.02))
 
         @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
         def step(mem_imgs, mem_flow, mem_occl, mem_sigma, img,

@@ -12,6 +12,19 @@ def test_missing_attrs_are_falsy():
     assert c.x == 5
 
 
+def test_cfg_value_missing_vs_falsy():
+    """cfg_value must treat ONLY missing (empty Config) / None as missing —
+    an explicit 0.0 (e.g. occlusion_threshold=0.0) must survive."""
+    from mft_tpu.config import Config, cfg_value
+    c = Config()
+    assert cfg_value(c.not_set, 0.02) == 0.02
+    assert cfg_value(None, 0.02) == 0.02
+    c.occlusion_threshold = 0.0
+    assert cfg_value(c.occlusion_threshold, 0.02) == 0.0
+    c.occlusion_threshold = 0.5
+    assert cfg_value(c.occlusion_threshold, 0.02) == 0.5
+
+
 def test_merge():
     a = Config()
     a.x = 1

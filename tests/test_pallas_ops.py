@@ -216,6 +216,30 @@ def test_corr_lookup_win_matches_gather(rng):
                                    atol=2e-2, rtol=1e-2, err_msg=name)
 
 
+def test_corr_lookup_win_misaligned_window(rng):
+    """Regression: with fold > 8 (very narrow levels), the dynamic row
+    window start must stay FOLD-aligned — flooring an 8-aligned start to a
+    packed-slab index used to drop the top sampled rows (sy ~ 17 with
+    fold=16 contracted rows [0,16) only while the tent reaches row 22)."""
+    from mft_tpu.ops.alt_corr_pallas import (build_feature_pyramid_slab,
+                                             corr_lookup_win)
+    B, H8, W8, C = 1, 32, 8, 16  # level 0: h=32, w=8 -> fold=16, ywin=16
+    P = H8 * W8
+    f1, f2 = _pyramid(rng, B, H8, W8, C)
+    pyr = build_corr_pyramid(f1, f2, 2)
+    slabs = build_feature_pyramid_slab(f2, 2, dtype=jnp.float32)
+    # all sample centers near y=17: y_lo = 12 -> old code picked slab row 0
+    coords = jnp.asarray(np.stack([
+        rng.uniform(1, 7, (B, P)),            # x
+        rng.uniform(16.5, 17.5, (B, P)),      # y
+    ], axis=-1).astype(np.float32))
+    want = corr_lookup(pyr[:2], coords.reshape(B, H8, W8, 2), 4,
+                       method="gather").reshape(B, P, -1)
+    got = corr_lookup_win(f1.reshape(B, P, C), slabs, coords, 4, tile_p=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-2, rtol=1e-2)
+
+
 @pytest.mark.slow
 def test_bilinear_warp_tiled_matches_blocked(rng):
     """The native-tile warp (no host-side reordering) must agree with the
