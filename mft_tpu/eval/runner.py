@@ -60,10 +60,30 @@ def _flow_identity(cfg):
             return repr(sorted((str(k), stable(x)) for k, x in v.items()))
         return repr(v)
 
+    def norm_sched(s):
+        # mirror MFT._iters_schedule's matching semantics so the identity
+        # compares SCHEDULES, not spellings: numeric keys by value (1 == 1.0),
+        # the 'inf' string as infinity, other string keys never match and are
+        # dropped. Sequence form stays positional — deltas are part of the
+        # identity below, so equal lists imply equal per-delta counts.
+        if not s:
+            return None
+        if hasattr(s, "items"):
+            out = []
+            for k, v in s.items():
+                if isinstance(k, str):
+                    if k == "inf":
+                        out.append((float("inf"), int(v)))
+                else:
+                    out.append((float(k), int(v)))
+            return tuple(sorted(out))
+        return tuple(int(i) for i in s)
+
     fc = cfg.flow_config
     return (str(fc.model or None), int(fc.flow_iters or 12),
             stable(fc.raft_params or None),
-            stable(cfg.flow_iters_schedule or None))
+            tuple(sorted(float(d) for d in cfg.deltas)),
+            norm_sched(cfg.flow_iters_schedule or None))
 
 
 def run(args):

@@ -25,15 +25,6 @@ import jax
 import jax.numpy as jnp
 
 
-def avg_pool2x2(x: jnp.ndarray) -> jnp.ndarray:
-    """2x2/2 average pool over the LAST TWO dims, floor (VALID) semantics."""
-    h, w = x.shape[-2], x.shape[-1]
-    x = x[..., : h - h % 2, : w - w % 2]
-    s = x.shape
-    x = x.reshape(*s[:-2], s[-2] // 2, 2, s[-1] // 2, 2)
-    return x.mean(axis=(-3, -1))
-
-
 def avg_pool2x2_nhwc(f: jnp.ndarray) -> jnp.ndarray:
     """2x2/2 average pool over the H, W dims of (B, H, W, C) features, floor
     (VALID) semantics — torch avg_pool2d parity (reference corr.py:26-28).
@@ -199,6 +190,21 @@ def _corr_lookup_pallas_ad(pyramid, coords, radius, tile_p, ywin=0):
                               ywin=ywin)
 
 
+def _unpack_levels(packed, pdims):
+    """Lane-packed (B, P, H0, sum_w) volume -> per-level (B, P, h, w) views."""
+    levels, off = [], 0
+    for (h, w) in pdims:
+        levels.append(packed[:, :, :h, off:off + w])
+        off += w
+    return levels
+
+
+def _dequant_levels(levels, scales):
+    """int8 volume levels * per-(pair, level) scales -> float32 levels."""
+    return [l.astype(jnp.float32) * scales[:, i, None, None, None]
+            for i, l in enumerate(levels)]
+
+
 def _mxu_all_levels(pyramid, coords, radius, out_dtype):
     outs = [
         _lookup_level_mxu(corr_l, coords / (2.0 ** lvl), radius)
@@ -259,11 +265,8 @@ def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4,
             out = corr_lookup_pallas_packed(packed, pdims, c, radius,
                                             tile_p=cap)
         else:
-            levels, off = [], 0
-            for (h, w) in pdims:
-                levels.append(packed[:, :, :h, off:off + w])
-                off += w
-            out = _mxu_all_levels(levels, c, radius, out_dtype)
+            out = _mxu_all_levels(_unpack_levels(packed, pdims), c, radius,
+                                  out_dtype)
         return out.reshape(B, H, W, -1).astype(out_dtype)
     if isinstance(pyramid, tuple) and pyramid[0] == "packed_i8":
         # int8 lane-packed volume: the packed layout's 2-dots-per-tile
@@ -279,13 +282,8 @@ def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4,
             out = corr_lookup_pallas_packed_i8(packed, scales, pdims, c,
                                                radius, tile_p=cap)
         else:
-            levels, off = [], 0
-            for i, (h, w) in enumerate(pdims):
-                deq = (packed[:, :, :h, off:off + w].astype(jnp.float32)
-                       * scales[:, i, None, None, None])
-                levels.append(deq)
-                off += w
-            out = _mxu_all_levels(levels, c, radius, jnp.float32)
+            deq = _dequant_levels(_unpack_levels(packed, pdims), scales)
+            out = _mxu_all_levels(deq, c, radius, jnp.float32)
         return out.reshape(B, H, W, -1).astype(out_dtype)
     if isinstance(pyramid, tuple) and pyramid[0] == "fold":
         from mft_tpu.ops.corr_lookup_pallas import corr_lookup_pallas_folded
@@ -305,9 +303,8 @@ def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4,
         if jax.default_backend() == "tpu" and _tile_p(H * W, 128) >= 8:
             out = corr_lookup_pallas_q(levels, scales, c, radius)
         else:
-            deq = [l.astype(jnp.float32) * scales[:, i, None, None, None]
-                   for i, l in enumerate(levels)]
-            out = _mxu_all_levels(deq, c, radius, jnp.float32)
+            out = _mxu_all_levels(_dequant_levels(levels, scales), c, radius,
+                                  jnp.float32)
         return out.reshape(B, H, W, -1).astype(out_dtype)
     if isinstance(pyramid, tuple) and pyramid[0] == "t":
         from mft_tpu.ops.corr_lookup_pallas import corr_lookup_pallas_t, _tile_p

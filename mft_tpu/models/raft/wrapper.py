@@ -41,6 +41,19 @@ def pad_to_8(H: int, W: int):
             (pad_wd // 2, pad_wd - pad_wd // 2))
 
 
+def _pow2_tile(v) -> int:
+    """Validate a corr_tile override: 0 (auto) or a power of two >= 8.
+
+    The pallas lookup grids are ``P // tile`` with no remainder handling —
+    a non-power-of-two tile would silently leave trailing pixels unwritten
+    (_tile_p returns min(P & -P, cap), a non-divisor for such caps).
+    """
+    t = int(v or 0)
+    if t and (t < 8 or t & (t - 1)):
+        raise ValueError(f"corr_tile must be 0 or a power of two >= 8, got {t}")
+    return t
+
+
 def raft_params_from_config(raft_kwargs) -> RAFTParams:
     """Build RAFTParams from a reference-style raft_params mapping."""
     get = (raft_kwargs.get if hasattr(raft_kwargs, "get")
@@ -51,7 +64,7 @@ def raft_params_from_config(raft_kwargs) -> RAFTParams:
         normalized_features=bool(get("normalized_features", False)),
         relu_uncertainty=bool(get("relu_uncertainty", False)),
         corr_method=str(get("corr_method", "auto")),
-        corr_tile=int(get("corr_tile", 0) or 0),
+        corr_tile=_pow2_tile(get("corr_tile", 0)),
         compute_dtype=str(get("compute_dtype", "float32")),
         conv_backend=str(get("conv_backend", "auto")),
         ou_last_iter_only=bool(get("OU_last_iter_only", False)),

@@ -701,26 +701,10 @@ def pack_corr_pyramid_i8(pyramid):
     returns: (packed int8 (B, P, H0, sum_w), scales (B, L) f32 with
     value = q * scale, dims tuple of (h_l, w_l)).
     """
-    B, P, H0, W0 = pyramid[0].shape
-    cols, dims, scales = [], [], []
-    for arr in pyramid:
-        h, w = arr.shape[2:]
-        dims.append((h, w))
-        a = arr.astype(jnp.float32)
-        mx = jnp.maximum(jnp.max(jnp.abs(a), axis=(1, 2, 3)), 1e-12)  # (B,)
-        q = jnp.clip(jnp.round(a * (127.0 / mx)[:, None, None, None]),
-                     -127.0, 127.0).astype(jnp.int8)
-        if h < H0:
-            # zero row padding => exact zeros-padding bilinear semantics
-            q = jnp.pad(q, ((0, 0), (0, 0), (0, H0 - h), (0, 0)))
-        cols.append(q)
-        scales.append(mx / 127.0)
-    if sum(w for _, w in dims) > 128:
-        raise ValueError(
-            f"packed layout needs sum of level widths <= 128 lanes, got "
-            f"{[w for _, w in dims]}")
-    return (jnp.concatenate(cols, axis=-1), jnp.stack(scales, axis=1),
-            tuple(dims))
+    from mft_tpu.models.raft.corr import quantize_pyramid
+    levels, scales = quantize_pyramid(pyramid)
+    packed, dims = pack_corr_pyramid(levels)
+    return packed, scales, dims
 
 
 def corr_lookup_pallas_packed_i8(packed_i8, scales, dims, coords,

@@ -184,6 +184,13 @@ class StreamingTracker:
         ``encode`` method (e.g. test fakes): full pair-batched forward."""
         if getattr(self, "_step_img", None) is not None:
             return self._step_img
+        if self.C.flow_iters_schedule:
+            # this path bakes the uniform iteration count into the jitted
+            # step; silently dropping a configured per-delta schedule would
+            # measure a mode the config does not describe
+            raise NotImplementedError(
+                "flow_iters_schedule requires the feature-ring streaming "
+                "step (a flow backend with encode()); this backend has none")
         occl_thresh = float(cfg_value(self.C.occlusion_threshold, 0.02))
         n_delta = len(self.deltas)
         model = self.flower.model
