@@ -222,7 +222,7 @@ class FlowAugmenter:
     """Dense-flow augmentation (reference augmentor.py:157-324)."""
 
     def __init__(self, crop_size, min_scale=-0.2, max_scale=0.5,
-                 do_flip=True, load_occlusion=False, asymmetric_color_aug_prob=0.2,
+                 do_flip=True, load_occlusion=False, asymmetric_color_aug_prob=1.0,
                  spatial_aug_prob=0.8, eraser_aug_prob=0.5, stretch_prob=0.8,
                  max_stretch=0.2, h_flip_prob=0.5, v_flip_prob=0.1,
                  out_of_frame_occlusion=True, seed=None,
@@ -259,12 +259,18 @@ class FlowAugmenter:
 
     # -- photometric -------------------------------------------------------
     def color_transform(self, img1, img2):
-        if self.rng.uniform() < self.asymmetric_color_aug_prob:
-            return (_adjust_photometric(img1, self.rng),
-                    _adjust_photometric(img2, self.rng))
+        """Strong SYMMETRIC jitter always, then (with prob) a weak
+        asymmetric per-image pass — reference augmentor.py:195-208 (its
+        defaults: strong 0.4/0.4/0.4/0.5pi symmetric, weak 0.2/0.2/0.2/0.05
+        asymmetric at asymmetric_color_aug_prob, default 1)."""
         stacked = np.concatenate([img1, img2], axis=0)
         stacked = _adjust_photometric(stacked, self.rng)
-        return np.split(stacked, 2, axis=0)
+        img1, img2 = np.split(stacked, 2, axis=0)
+        if self.rng.uniform() < self.asymmetric_color_aug_prob:
+            weak = dict(brightness=0.2, contrast=0.2, saturation=0.2, hue=0.05)
+            img1 = _adjust_photometric(img1, self.rng, **weak)
+            img2 = _adjust_photometric(img2, self.rng, **weak)
+        return img1, img2
 
     def jpeg_transform(self, img1, img2):
         """JPEG-corrupt both frames at a shared random severity 1..3
@@ -289,7 +295,7 @@ class FlowAugmenter:
         return img1, img2
 
     # -- spatial -----------------------------------------------------------
-    def spatial_transform(self, img1, img2, flow, occl):
+    def spatial_transform(self, img1, img2, flow, occl, valid=None):
         H, W = img1.shape[:2]
         min_scale = max((self.crop_size[0] + 8) / H, (self.crop_size[1] + 8) / W)
         scale = 2 ** self.rng.uniform(self.min_scale, self.max_scale)
@@ -308,6 +314,9 @@ class FlowAugmenter:
             flow = flow * np.array([scale_x, scale_y], np.float32)
             if occl is not None:
                 occl = cv2.resize(occl, new_wh, interpolation=cv2.INTER_LINEAR)
+            if valid is not None:
+                valid = cv2.resize(valid, new_wh,
+                                   interpolation=cv2.INTER_LINEAR)
 
         if self.do_flip:
             if self.rng.uniform() < self.h_flip_prob:
@@ -315,11 +324,13 @@ class FlowAugmenter:
                 img2 = img2[:, ::-1]
                 flow = flow[:, ::-1] * np.array([-1.0, 1.0], np.float32)
                 occl = occl[:, ::-1] if occl is not None else None
+                valid = valid[:, ::-1] if valid is not None else None
             if self.rng.uniform() < self.v_flip_prob:
                 img1 = img1[::-1]
                 img2 = img2[::-1]
                 flow = flow[::-1] * np.array([1.0, -1.0], np.float32)
                 occl = occl[::-1] if occl is not None else None
+                valid = valid[::-1] if valid is not None else None
 
         H2, W2 = img1.shape[:2]
         y0 = self.rng.integers(0, H2 - self.crop_size[0] + 1)
@@ -327,9 +338,9 @@ class FlowAugmenter:
         sl = (slice(y0, y0 + self.crop_size[0]), slice(x0, x0 + self.crop_size[1]))
         img1, img2, flow = img1[sl], img2[sl], flow[sl]
         occl = occl[sl] if occl is not None else None
-        return (np.ascontiguousarray(img1), np.ascontiguousarray(img2),
-                np.ascontiguousarray(flow),
-                np.ascontiguousarray(occl) if occl is not None else None)
+        valid = valid[sl] if valid is not None else None
+        cc = lambda a: np.ascontiguousarray(a) if a is not None else None
+        return cc(img1), cc(img2), cc(flow), cc(occl), cc(valid)
 
     @staticmethod
     def mark_out_of_frame_occluded(flow, occl):
@@ -352,9 +363,16 @@ class FlowAugmenter:
             # with real occlusion GT the eraser would corrupt it
             # (reference augmentor.py:307-308)
             img1, img2 = self.eraser_transform(img1, img2)
-        img1, img2, flow, occl2d = self.spatial_transform(img1, img2, flow, occl2d)
-        valid = ((np.abs(flow[..., 0]) < 1000)
-                 & (np.abs(flow[..., 1]) < 1000)).astype(np.float32)
+        # a caller-supplied valid (e.g. Kubric correct_flow ambiguity mask)
+        # is transformed WITH the sample; only when absent is it derived
+        # from the flow magnitude (reference augmentor.py:309-312)
+        if valid is None:
+            valid = ((np.abs(flow[..., 0]) < 1000)
+                     & (np.abs(flow[..., 1]) < 1000))
+        valid = np.asarray(valid, np.float32)
+        valid = valid[..., 0] if valid.ndim == 3 else valid
+        img1, img2, flow, occl2d, valid = self.spatial_transform(
+            img1, img2, flow, occl2d, valid)
         # post-spatial corruptions, reference order: blend -> text -> jpeg
         # (augmentor.py:313-315)
         img1, img2 = self.blend_aug(img1, img2)

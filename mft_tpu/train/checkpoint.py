@@ -9,7 +9,6 @@ mft_tpu.models.raft.wrapper.load_variables).
 import logging
 from pathlib import Path
 
-import jax
 import orbax.checkpoint as ocp
 
 logger = logging.getLogger(__name__)
@@ -33,11 +32,9 @@ def latest_checkpoint(ckpt_dir):
 
 
 def restore_checkpoint(ckpt_path, target):
-    """Restore into the structure of ``target`` (abstract pytree ok)."""
+    """Restore into the structure of ``target`` (concrete or abstract)."""
     with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(Path(ckpt_path).resolve(),
-                             jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
-                             if False else target)
+        return ckptr.restore(Path(ckpt_path).resolve(), target)
 
 
 def export_weights(path, variables):

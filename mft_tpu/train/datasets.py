@@ -33,7 +33,8 @@ logger = logging.getLogger(__name__)
 
 # validation scenes of the official sintel train/val subsplit
 # (reference datasets.py:411)
-SINTEL_VAL_SCENES = ("ambush_2", "bamboo_1", "cave_4", "market_5", "temple_2")
+SINTEL_VAL_SCENES = ("alley_1", "ambush_6", "bamboo_2", "cave_4",
+                     "market_5", "shaman_3")
 
 
 class FlowDataset:
@@ -124,8 +125,11 @@ class MpiSintel(FlowDataset):
                     self.flow_list.append(
                         str(root / "flow" / scene / f"frame_{i + 1:04d}.flo"))
                     if load_occlusion:
+                        # MFT's regenerated occlusion maps, NOT Sintel's
+                        # stock 'occlusions' dir (reference datasets.py:421)
                         self.occlusion_list.append(
-                            str(root / "occlusions" / scene / f"frame_{i + 1:04d}.png"))
+                            str(root / "occlusions_rev" / scene
+                                / f"frame_{i + 1:04d}.png"))
 
 
 class FlyingChairs(FlowDataset):
@@ -161,23 +165,27 @@ class FlyingThings3D(FlowDataset):
             for direction in ("into_future", "into_past"):
                 img_dirs = sorted(root.glob(f"{dstype}/TRAIN/*/*/{cam}"))
                 flo_dirs = sorted(root.glob(f"optical_flow/TRAIN/*/*/{direction}/{cam}"))
-                occ_dirs = sorted(root.glob(f"occlusions/TRAIN/*/*/{direction}/{cam}"))
-                for k, (idir, fdir) in enumerate(zip(img_dirs, flo_dirs)):
+                for idir, fdir in zip(img_dirs, flo_dirs):
                     images = sorted(Path(idir).glob("*.png"))
                     flows = sorted(Path(fdir).glob("*.pfm"))
-                    occls = (sorted(Path(occ_dirs[k]).glob("*.png"))
-                             if load_occlusion and occ_dirs else [])
                     for i in range(len(flows) - 1):
                         if direction == "into_future":
-                            self.image_list.append([str(images[i]), str(images[i + 1])])
-                            self.flow_list.append(str(flows[i]))
-                            if occls:
-                                self.occlusion_list.append(str(occls[i]))
+                            im1, im2, flow = images[i], images[i + 1], flows[i]
                         else:
-                            self.image_list.append([str(images[i + 1]), str(images[i])])
-                            self.flow_list.append(str(flows[i + 1]))
-                            if occls:
-                                self.occlusion_list.append(str(occls[i + 1]))
+                            im1, im2, flow = images[i + 1], images[i], flows[i + 1]
+                        # occlusion path derived from the FLOW path (same
+                        # stem), skipping pairs whose map is missing — the
+                        # reference's pairing rule (datasets.py:483-495); a
+                        # sorted dir listing misaligns because the generator
+                        # writes F-1 maps per direction with offset stems
+                        occl = Path(str(flow).replace(
+                            "optical_flow", "occlusions")).with_suffix(".png")
+                        if load_occlusion and not occl.is_file():
+                            continue
+                        self.image_list.append([str(im1), str(im2)])
+                        self.flow_list.append(str(flow))
+                        if load_occlusion:
+                            self.occlusion_list.append(str(occl))
 
 
 class KubricLongTerm(FlowDataset):
@@ -377,15 +385,24 @@ def fetch_dataset(stage, image_size, env=None, dashcam_augmentation=False):
             MpiSintel(a, dstype="final", root=env.sintel_dir, load_occlusion=True),
         ])
     if stage == "kubric":
-        a = dict(aug, min_scale=1.8, max_scale=2.2, do_flip=True)
+        # resize forced on (prob 1.1): a 256^2 MOVi-E frame cannot supply a
+        # 368x768 crop without the zoom-in resize
+        a = dict(aug, min_scale=1.8, max_scale=2.2, do_flip=True,
+                 stretch_prob=1.1, spatial_aug_prob=1.1,
+                 asymmetric_color_aug_prob=0.0)
         return KubricLongTerm(a, root=env.kubric_dir, correct_flow=True)
     if stage == "kitti":
         return KITTI(dict(aug, min_scale=-0.2, max_scale=0.4, do_flip=False),
                      root=env.kitti_dir)
     if stage == "sintel_things_kubric_train_subsplit":
-        a_sintel = dict(aug, min_scale=-0.2, max_scale=0.6)
+        # reference stage params (datasets.py:580-588): ONE -0.4..0.8 scale
+        # range shared by sintel+things; kubric zooms 1.8..2.2 with resize
+        # and stretch forced on (prob 1.1) and asymmetric color jitter OFF
+        a_sintel = dict(aug, min_scale=-0.4, max_scale=0.8)
         a_things = dict(aug, min_scale=-0.4, max_scale=0.8)
-        a_kubric = dict(aug, min_scale=1.8, max_scale=2.2)
+        a_kubric = dict(aug, min_scale=1.8, max_scale=2.2,
+                        stretch_prob=1.1, spatial_aug_prob=1.1,
+                        asymmetric_color_aug_prob=0.0)
         sintel_clean = MpiSintel(a_sintel, dstype="clean", root=env.sintel_dir,
                                  load_occlusion=True, subsplit="train")
         sintel_final = MpiSintel(a_sintel, dstype="final", root=env.sintel_dir,
@@ -432,10 +449,16 @@ class BatchLoader:
                 idxs = next_indices()
                 samples = [self.dataset[i] for i in idxs]
                 batch = tuple(np.stack(col) for col in zip(*samples))
-                try:
-                    q.put(batch, timeout=5.0)
-                except queue.Full:
-                    continue
+                # retry putting the SAME batch until it fits (or shutdown):
+                # dropping it on a full queue would burn CPU rebuilding
+                # batches that are never trained on and skip the consumed
+                # shuffle-permutation samples for the epoch
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]

@@ -7,9 +7,10 @@ camera pose, attach the 3D point to its object (or the static background),
 move it with the object's rigid pose to every other frame, reproject with
 that frame's camera, and test occlusion by depth comparison. Results are
 written as ``0000_to_XXXX.flowou.png`` files consumed by
-``mft_tpu.train.datasets.KubricLongTerm``; the 0000_to_0000 file stores the
-0.0/0.5 object-marker flow used by the correct_flow compensation
-(reference datasets.py:358-369).
+``mft_tpu.train.datasets.KubricLongTerm``; the 0000_to_0000 file is an
+all-zero flow — these flows are exact, so the correct_flow compensation the
+reference data needs (datasets.py:358-369, removing its +0.5 px object
+raster offset) reduces to a no-op (see save_scene_flowous).
 
 Conventions (Kubric/Blender): camera looks along -Z with +X right and +Y up
 in camera space; quaternions are (w, x, y, z); 'depth' is range along the
@@ -162,18 +163,28 @@ def track_scene(scene):
     return flows, occlusions, seg0 > 0
 
 
-def save_scene_flowous(out_dir, flows, occlusions, object_marker):
-    """Write 0000_to_XXXX.flowou.png files (+ the frame-0 object marker)."""
+def save_scene_flowous(out_dir, flows, occlusions, object_marker=None):
+    """Write 0000_to_XXXX.flowou.png files (+ a ZERO frame-0 flow).
+
+    The reference pipeline's data carries a +0.5 px raster offset on object
+    pixels (multiflow_from_kubric.py pixel_to_raster) which KubricDataset's
+    ``correct_flow`` removes by subtracting the 0000_to_0000 marker and
+    back-warping. THIS generator computes exact flows with one consistent
+    pixel-center convention for all pixels, so it writes an all-zero frame-0
+    flow: correct_flow then reduces to a no-op and the exact flows pass
+    through unbiased (writing the 0.5 marker here would make correct_flow
+    inject a spurious -0.5 px bias + half-pixel resample on every object
+    pixel). ``object_marker`` is accepted for API compatibility but not
+    encoded.
+    """
     from mft_tpu.io.flowou_codecs import write_flowou
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     T, H, W = occlusions.shape
     sigma = np.zeros((H, W), np.float32)
-    # frame 0: the 0.0/0.5 object-marker flow consumed by correct_flow
-    marker = np.where(object_marker[..., None], 0.5, 0.0).astype(np.float32)
-    marker = np.repeat(marker, 2, axis=-1)
-    write_flowou(out_dir / "0000_to_0000.flowou.png", marker,
+    write_flowou(out_dir / "0000_to_0000.flowou.png",
+                 np.zeros((H, W, 2), np.float32),
                  np.zeros((H, W), np.float32), sigma)
     for t in range(1, T):
         write_flowou(out_dir / f"0000_to_{t:04d}.flowou.png",

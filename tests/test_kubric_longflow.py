@@ -79,8 +79,11 @@ def test_save_scene_flowous_roundtrip(tmp_path):
     files = sorted(tmp_path.glob("*.flowou.png"))
     assert len(files) == 4
     f0, _, _ = read_flowou(files[0])
-    # the frame-0 marker: 0.5 on objects, 0 elsewhere
-    np.testing.assert_allclose(np.unique(np.round(f0, 2)), [0.0, 0.5])
+    # frame 0 stores an all-zero flow: these flows are exact, so the
+    # correct_flow compensation must be a no-op (the reference's 0.5 object
+    # marker compensates a raster offset its upstream data carries and this
+    # generator does not inject)
+    np.testing.assert_allclose(f0, 0.0, atol=1 / 16)
     f2, o2, _ = read_flowou(files[2])
     np.testing.assert_allclose(f2, flows[2], atol=1 / 16)
 
@@ -105,6 +108,9 @@ def test_roundtrip_into_kubric_dataset(tmp_path):
     img1, img2, flow, valid, occl_out = ds[0]
     assert flow.shape == (32, 32, 2)
     assert valid.min() >= 0 and valid.max() <= 1
-    # correct_flow subtracts+unwarps the 0.5 marker; background flow intact
-    np.testing.assert_allclose(flow[20:28, 20:28], flows[1][20:28, 20:28],
-                               atol=0.1)
+    # the zero frame-0 flow makes correct_flow a no-op: the exact generated
+    # flows pass through unbiased EVERYWHERE — object pixels included (a 0.5
+    # marker here used to inject a -0.5 px object bias, see
+    # save_scene_flowous)
+    np.testing.assert_allclose(flow, flows[1], atol=0.1)
+    np.testing.assert_allclose(valid, 1.0)
