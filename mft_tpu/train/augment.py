@@ -428,12 +428,22 @@ class SparseFlowAugmenter:
         out_valid[yi[keep], xi[keep]] = 1.0
         return out_flow, out_valid
 
+    def color_transform(self, img1, img2):
+        """SYMMETRIC-only, weaker jitter than the dense augmenter
+        (reference SparseFlowAugmentor, augmentor.py:360, 364-369:
+        ColorJitter 0.3/0.3/0.3/0.3pi with no asymmetric pass)."""
+        stacked = np.concatenate([img1, img2], axis=0)
+        stacked = _adjust_photometric(stacked, self.rng, brightness=0.3,
+                                      contrast=0.3, saturation=0.3,
+                                      hue=0.3 / 3.14)
+        return np.split(stacked, 2, axis=0)
+
     def __call__(self, img1, img2, flow, valid=None, occl=None):
         if valid is None:
             valid = np.ones(flow.shape[:2], np.float32)
         if valid.ndim == 3:
             valid = valid[..., 0]
-        img1, img2 = self._dense.color_transform(img1, img2)
+        img1, img2 = self.color_transform(img1, img2)
         img1, img2 = self._dense.eraser_transform(img1, img2)
 
         H, W = img1.shape[:2]
