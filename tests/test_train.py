@@ -218,6 +218,32 @@ def test_augmentor_shapes_and_oof(rng):
     assert occ.min() == 1.0
 
 
+def test_augmenter_valid_mask_is_transformed(rng):
+    """A caller-supplied valid mask (e.g. Kubric correct_flow ambiguity)
+    must be cropped/flipped WITH the sample, not recomputed from the flow
+    (reference augmentor.py:304-312)."""
+    from mft_tpu.train.augment import FlowAugmenter
+    H, W = 96, 128
+    img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+    flow = np.zeros((H, W, 2), np.float32)  # all-finite: magnitude mask = 1
+    occl = np.zeros((H, W, 1), np.float32)
+    valid = np.zeros((H, W), np.float32)  # fully INVALID input mask
+    aug = FlowAugmenter(crop_size=(64, 64), seed=0)
+    _, _, _, ov, _ = aug(img.copy(), img.copy(), flow, valid, occl)
+    # a discarded mask would come back all-ones from |flow| < 1000
+    assert ov.max() <= 0.5
+
+
+def test_sparse_color_transform_is_symmetric(rng):
+    """SparseFlowAugmenter's jitter must be identical for both frames
+    (reference SparseFlowAugmentor has no asymmetric pass)."""
+    from mft_tpu.train.augment import SparseFlowAugmenter
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    aug = SparseFlowAugmenter(crop_size=(32, 32), seed=0)
+    o1, o2 = aug.color_transform(img.copy(), img.copy())
+    np.testing.assert_array_equal(o1, o2)
+
+
 def test_mixed_dataset_weights():
     from mft_tpu.train.datasets import MixedDataset
 
