@@ -337,6 +337,7 @@ class MixedDataset:
 
     def __init__(self, datasets, weights=None):
         weights = weights or [1] * len(datasets)
+        self.weights = list(weights)
         self.parts = []
         for ds, w in zip(datasets, weights):
             if len(ds):
@@ -394,6 +395,19 @@ def fetch_dataset(stage, image_size, env=None, dashcam_augmentation=False):
     if stage == "kitti":
         return KITTI(dict(aug, min_scale=-0.2, max_scale=0.4, do_flip=False),
                      root=env.kitti_dir)
+    if stage == "sintel_things_train_subsplit":
+        # first-stage (no-kubric) recipe (reference datasets.py:572-577,
+        # train_params_no_kubric.txt): 200x sintel_clean + 200x sintel_final
+        # + things_final, one shared -0.4..0.8 scale range
+        a = dict(aug, min_scale=-0.4, max_scale=0.8)
+        sintel_clean = MpiSintel(a, dstype="clean", root=env.sintel_dir,
+                                 load_occlusion=True, subsplit="train")
+        sintel_final = MpiSintel(a, dstype="final", root=env.sintel_dir,
+                                 load_occlusion=True, subsplit="train")
+        things = FlyingThings3D(a, dstype="frames_finalpass",
+                                root=env.flyingthings_dir, load_occlusion=True)
+        return MixedDataset([sintel_clean, sintel_final, things],
+                            weights=[200, 200, 1])
     if stage == "sintel_things_kubric_train_subsplit":
         # reference stage params (datasets.py:580-588): ONE -0.4..0.8 scale
         # range shared by sintel+things; kubric zooms 1.8..2.2 with resize

@@ -452,6 +452,44 @@ def test_fetch_dataset_dashcam_flag(tmp_path, monkeypatch):
     assert captured.get("jpeg_prop") == 0.5
 
 
+def test_fetch_dataset_no_kubric_stage(monkeypatch):
+    """First-stage recipe 'sintel_things_train_subsplit' (reference
+    datasets.py:572-577): 200x sintel_clean + 200x sintel_final +
+    things_final, shared -0.4..0.8 scale, no kubric."""
+    from mft_tpu.train import datasets as D
+
+    class Env:
+        sintel_dir = flyingthings_dir = kubric_dir = None
+
+    made = []
+
+    def spy_factory(name):
+        def spy(self, aug_params=None, **kw):
+            made.append((name, dict(aug_params or {}), dict(kw)))
+            self.augmentor = None
+            self.flow_list, self.image_list = [], []
+            self.sparse = False
+            self.load_occlusion = False
+        return spy
+
+    monkeypatch.setattr(D.MpiSintel, "__init__", spy_factory("sintel"))
+    monkeypatch.setattr(D.FlyingThings3D, "__init__", spy_factory("things"))
+    kubric_made = []
+    monkeypatch.setattr(D.KubricLongTerm, "__init__",
+                        spy_factory("kubric"))
+    mixed = D.fetch_dataset("sintel_things_train_subsplit", (368, 768),
+                            env=Env())
+    names = [n for n, _, _ in made]
+    assert names == ["sintel", "sintel", "things"]
+    assert not kubric_made
+    assert list(mixed.weights) == [200, 200, 1]
+    for _, aug_params, _ in made:
+        assert aug_params["min_scale"] == -0.4
+        assert aug_params["max_scale"] == 0.8
+    for _, _, kw in made[:2]:
+        assert kw.get("subsplit") == "train"
+
+
 def test_train_logger(tmp_path, rng):
     """Scalars jsonl + panel PNGs (reference Logger, train.py:262-346)."""
     import json
