@@ -155,3 +155,27 @@ def load_torch_checkpoint(path, norm_fns=None):
     import torch
     state_dict = torch.load(path, map_location="cpu", weights_only=True)
     return torch_statedict_to_variables(state_dict, norm_fns=norm_fns)
+
+
+def main(argv=None):
+    """CLI: convert a torch .pth state dict to a flax msgpack checkpoint.
+
+    Usage: python -m mft_tpu.models.raft.convert in.pth out.msgpack
+    (tools/download_models.sh documents the full fetch+convert flow).
+    """
+    import argparse
+    from pathlib import Path
+    parser = argparse.ArgumentParser(description=main.__doc__)
+    parser.add_argument("src", help="torch .pth checkpoint")
+    parser.add_argument("dst", help="output flax .msgpack path")
+    args = parser.parse_args(argv)
+    from flax import serialization
+    variables = load_torch_checkpoint(args.src)
+    Path(args.dst).parent.mkdir(parents=True, exist_ok=True)
+    with open(args.dst, "wb") as f:
+        f.write(serialization.msgpack_serialize(variables))
+    print(f"wrote {args.dst}")
+
+
+if __name__ == "__main__":
+    main()

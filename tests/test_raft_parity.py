@@ -141,3 +141,24 @@ def test_convex_upsample_multi_matches_single(rng):
                convex_upsample(un, mask, 8.0)]
     for m, s in zip(multi, singles):
         np.testing.assert_allclose(np.asarray(m), np.asarray(s), atol=1e-5)
+
+
+def test_convert_cli_round_trip(tmp_path):
+    """The convert CLI (tools/download_models.sh flow) writes a msgpack that
+    restores to the exact converted variables."""
+    from flax import serialization
+    from mft_tpu.models.raft import convert
+
+    model = make_torch_model(seed=3)
+    src = tmp_path / "m.pth"
+    torch.save(model.state_dict(), src)
+    dst = tmp_path / "m.msgpack"
+    convert.main([str(src), str(dst)])
+    restored = serialization.msgpack_restore(dst.read_bytes())
+    direct = convert.load_torch_checkpoint(src)
+    flat_r = jax.tree_util.tree_leaves_with_path(restored)
+    flat_d = jax.tree_util.tree_leaves_with_path(direct)
+    assert len(flat_r) == len(flat_d) > 100
+    for (pr, vr), (pd, vd) in zip(flat_r, flat_d):
+        assert pr == pd
+        np.testing.assert_array_equal(np.asarray(vr), np.asarray(vd))
