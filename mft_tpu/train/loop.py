@@ -86,7 +86,12 @@ def build_state(model, tx, example_hw=(368, 768), restore=None, seed=1234):
 
 
 def train(args):
-    cfg = RAFTParams(small=args.small, occlusion_module=args.occlusion_module)
+    # --mixed_precision: bf16 compute, f32 params/optimizer state. The TPU
+    # analog of the reference's GradScaler AMP (train.py:389) — bf16 keeps
+    # f32's exponent range, so no loss scaling is needed.
+    cfg = RAFTParams(small=args.small, occlusion_module=args.occlusion_module,
+                     compute_dtype="bfloat16" if args.mixed_precision
+                     else "float32")
     model = RAFT(cfg=cfg, train_mode=not args.freeze_features_training)
 
     trainable = None
@@ -205,6 +210,8 @@ def get_parser():
     # jpeg-corruption augmentation at p=0.5 (reference train.py:525 — the
     # reference's flag spelling, typo included, for @file compatibility)
     parser.add_argument("--dashcam_augmenentation", action="store_true")
+    parser.add_argument("--mixed_precision", action="store_true",
+                        help="bf16 compute (f32 params; no loss scaling)")
     parser.add_argument("--restore_ckpt", default=None)
     parser.add_argument("--num_steps", type=int, default=50000)
     parser.add_argument("--batch_size", type=int, default=6)
