@@ -83,7 +83,10 @@ def _flow_identity(cfg):
     return (str(fc.model or None), int(fc.flow_iters or 12),
             stable(fc.raft_params or None),
             tuple(sorted(float(d) for d in cfg.deltas)),
-            norm_sched(cfg.flow_iters_schedule or None))
+            norm_sched(cfg.flow_iters_schedule or None),
+            # warm-started template flows depend on tracking history, so
+            # the mode is part of what a cached pairwise flow means
+            bool(cfg.warm_start_inf))
 
 
 def run(args):

@@ -177,11 +177,15 @@ class RAFTFlow:
 
         return enc
 
-    def features_forward(self, H, W, iters_schedule=None):
+    def features_forward(self, H, W, iters_schedule=None, init_slot=None):
         """Unjitted closure: flow/occl/sigma from CACHED encoder features.
 
         args (to the closure): variables, fmap1, fmap2, cnet1 — features at
-        the padded stride-8 resolution from :meth:`padded_encode`.
+        the padded stride-8 resolution from :meth:`padded_encode` — plus an
+        optional ``init_flow`` (H, W, 2) full-resolution warm-start flow for
+        the single batch pair ``init_slot`` (static; the tracker's
+        delta=inf pair). Other pairs start from the zero flow, exactly as
+        without warm starting.
         returns: (flow (B,H,W,2), occl (B,H,W), sigma (B,H,W)) unpadded.
 
         ``iters_schedule`` (optional tuple, one entry per batch pair)
@@ -193,11 +197,25 @@ class RAFTFlow:
         if iters_schedule is not None:
             iters = tuple(int(i) for i in iters_schedule)
 
-        def fwd(variables, fmap1, fmap2, cnet1):
+        def fwd(variables, fmap1, fmap2, cnet1, init_flow=None):
+            flow_init = None
+            if init_flow is not None:
+                assert init_slot is not None
+                # pad + 1/8-downsample ONE map (reference warm start feeds
+                # RAFT a low-res init, MFT/raft.py:98-101), then scatter it
+                # into the zero init of the full batch
+                pad = ((0, 0), (pt, pb), (pl, pr), (0, 0))
+                fi = jnp.pad(init_flow[None].astype(jnp.float32), pad,
+                             mode="edge")
+                fi8 = downsample_flow8(fi)
+                B = fmap1.shape[0]
+                flow_init = jnp.zeros((B, *fi8.shape[1:]), jnp.float32
+                                      ).at[init_slot].set(fi8[0])
             out = model.apply(
                 variables, fmap1, fmap2, cnet1,
                 method=lambda m, a, b, c: m.flow_from_features(
-                    a, b, c, iters=iters, test_mode=True))
+                    a, b, c, iters=iters, flow_init=flow_init,
+                    test_mode=True))
             Hp, Wp = H + pt + pb, W + pl + pr
             unpad = lambda x: x[:, pt:Hp - pb, pl:Wp - pr]
             flow = unpad(out["flow"])

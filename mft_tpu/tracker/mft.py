@@ -59,7 +59,43 @@ class MFT:
         finite = [int(d) for d in self.deltas if np.isfinite(d)]
         self.ring = max(finite) if finite else 1
         self.template_slot = self.ring  # memory slot layout: [0..ring-1] + template
+        self._inf_idx = next((i for i, d in enumerate(self.deltas)
+                              if np.isinf(d)), None)
         self._step_fn = None
+        if self._warm_start() and bool(self.C.cache_delta_infinity):
+            raise ValueError(
+                "warm_start_inf and cache_delta_infinity cannot be combined: "
+                "warm-started template flows depend on the tracking history "
+                "that produced them, so they are not reusable cache entries")
+
+    def _warm_start(self):
+        """Documented non-default speed/accuracy mode (``C.warm_start_inf``):
+        initialize the template (delta=inf) pair's RAFT iterations from the
+        previous frame's selected flow instead of zero — the reference's own
+        video warm-start mechanism (MFT/RAFT/core/raft.py flow_init +
+        MFT/raft.py:98-101) applied to the one pair whose left frame never
+        changes. flow(template->t-1) is within one frame of motion of
+        flow(template->t), so the pair converges in far fewer GRU iterations
+        — and on long sequences a large-displacement template pair gets an
+        init that 12 zero-start iterations may never reach. Default configs
+        keep the reference's zero init.
+        """
+        return bool(self.C.warm_start_inf) and self._inf_idx is not None
+
+    def _prev_slot(self, t):
+        """Ring slot holding the previous frame's selected flow, cached.
+
+        Frame ``t - time_direction`` was written at slot ``(t - td) % ring``
+        one step ago; on the first tracked frame that slot is still the
+        zero init — exactly the identity flow of the template frame.
+        """
+        key = ("pslot", (t - self.time_direction) % self.ring)
+        cache = getattr(self, "_idx_cache", None)
+        if cache is None:
+            cache = self._idx_cache = {}
+        if key not in cache:
+            cache[key] = jnp.int32(key[1])
+        return cache[key]
 
     # ------------------------------------------------------------------ #
     def init(self, img, start_frame_i=0, time_direction=1, flow_cache=None, **kwargs):
@@ -172,13 +208,14 @@ class MFT:
             if self.flow_cache is not None:
                 return self._track_fused_cached(img, cands, t)
             slots, valid, wslot = self._step_indices(cands, t)
+            pslot = self._prev_slot(t) if self._warm_start() else None
             step = self._get_fused_frame()
             (self.mem_imgs, self.mem_flow, self.mem_occl, self.mem_sigma,
              self.mem_fmap, self.mem_cnet,
              result) = step(self.flower.variables, self.mem_imgs,
                             self.mem_flow, self.mem_occl, self.mem_sigma,
                             self.mem_fmap, self.mem_cnet,
-                            img, slots, valid, wslot)
+                            img, slots, valid, wslot, pslot)
             meta = SimpleNamespace()
             meta.result = result
             return meta
@@ -289,15 +326,25 @@ class MFT:
             slots = jnp.asarray([cands[i].slot for i in compute_idx], jnp.int32)
             left = jnp.take(self.mem_imgs, slots, axis=0)
             right = jnp.broadcast_to(img, (len(compute_idx), *img.shape))
-            # honor the per-delta iteration schedule on this (unfused) path
-            # too — the profile/timer mode must measure the configured mode,
-            # and cached flows must match the schedule that keys them
-            # (eval/runner.py _flow_identity)
+            # honor the per-delta iteration schedule and the warm-start mode
+            # on this (unfused) path too — the profile/timer mode must
+            # measure the configured mode, and cached flows must match the
+            # flow setup that keys them (eval/runner.py _flow_identity)
             sched = self._iters_schedule()
+            init_flow = None
+            if self._warm_start() and self._inf_idx in compute_idx:
+                H, W = self.img_H, self.img_W
+                prev = self.mem_flow[(t - self.time_direction) % self.ring]
+                pos = compute_idx.index(self._inf_idx)
+                init_flow = jnp.zeros((len(compute_idx), H, W, 2),
+                                      jnp.float32).at[pos].set(prev)
+            kwargs = {}
             if sched is not None:
-                f, o, s = self.flower.forward_batch(
-                    left, right,
-                    iters_schedule=tuple(sched[i] for i in compute_idx))
+                kwargs["iters_schedule"] = tuple(sched[i] for i in compute_idx)
+            if init_flow is not None:
+                kwargs["init_flow"] = init_flow
+            if kwargs:
+                f, o, s = self.flower.forward_batch(left, right, **kwargs)
             else:  # plain call: fake/test flow backends need no kwarg
                 f, o, s = self.flower.forward_batch(left, right)
             for k, i in enumerate(compute_idx):
@@ -331,6 +378,7 @@ class MFT:
         cached, all_finite_hit = self._read_cache_hits(cands, t)
 
         slots, valid, wslot = self._step_indices(cands, t)
+        pslot = self._prev_slot(t) if self._warm_start() else None
 
         if not all_finite_hit:
             # full-batch compute (computed values win over stale hits, same
@@ -341,7 +389,7 @@ class MFT:
              flows, occls, sigmas) = step(
                 self.flower.variables, self.mem_imgs, self.mem_flow,
                 self.mem_occl, self.mem_sigma, self.mem_fmap, self.mem_cnet,
-                img, slots, valid, wslot)
+                img, slots, valid, wslot, pslot)
             for i, c in enumerate(cands):
                 if c.valid and c.cacheable and i not in cached:
                     # device-array slices: the cache's device tier keeps them
@@ -366,7 +414,8 @@ class MFT:
              flows, occls, sigmas) = step(
                 self.flower.variables, self.mem_imgs, self.mem_flow,
                 self.mem_occl, self.mem_sigma, self.mem_fmap, self.mem_cnet,
-                img, slots, valid, wslot, inj_flows, inj_occls, inj_sigmas)
+                img, slots, valid, wslot, inj_flows, inj_occls, inj_sigmas,
+                pslot)
             for i in compute_idx:
                 c = cands[i]
                 if c.cacheable:
@@ -384,10 +433,14 @@ class MFT:
         return cache
 
     def _fused_frame_body(self, enc, fwd, occl_thresh, variables, mems,
-                          img, slots, valid, wslot):
+                          img, slots, valid, wslot, pslot=None):
         """One fused frame: encode-new + batched forward + chain/select +
         ring update. Shared by the single-frame, chunked, and cache-write
-        jitted entry points — pure function of (mems, img, indices)."""
+        jitted entry points — pure function of (mems, img, indices).
+
+        ``pslot`` (warm-start mode only): ring slot of the previous frame's
+        selected flow, fed as the template pair's RAFT init (_warm_start).
+        """
         mem_imgs, mem_flow, mem_occl, mem_sigma, mem_fmap, mem_cnet = mems
         N = len(self.deltas)
         # encode ONLY the new frame; every left frame's features are
@@ -396,7 +449,11 @@ class MFT:
         fmap1 = jnp.take(mem_fmap, slots, axis=0)
         cnet1 = jnp.take(mem_cnet, slots, axis=0)
         fmap2 = jnp.broadcast_to(f_new, (N, *f_new.shape[1:]))
-        flows, occls, sigmas = fwd(variables, fmap1, fmap2, cnet1)
+        if pslot is not None:
+            flows, occls, sigmas = fwd(variables, fmap1, fmap2, cnet1,
+                                       mem_flow[pslot])
+        else:
+            flows, occls, sigmas = fwd(variables, fmap1, fmap2, cnet1)
         left = FlowOU(flow=jnp.take(mem_flow, slots, axis=0),
                       occlusion=jnp.take(mem_occl, slots, axis=0),
                       sigma=jnp.take(mem_sigma, slots, axis=0))
@@ -419,25 +476,31 @@ class MFT:
         FlowCache.
         """
         sched = self._iters_schedule()
-        key = (self.img_H, self.img_W, pairwise_out, sched)
+        warm = self._warm_start()
+        key = (self.img_H, self.img_W, pairwise_out, sched, warm)
         cache = self._frame_fn_cache()
         if key in cache:
             return cache[key]
         occl_thresh = float(cfg_value(self.C.occlusion_threshold, 0.02))
         enc = self.flower.padded_encode(self.img_H, self.img_W)
-        fwd = (self.flower.features_forward(self.img_H, self.img_W)
-               if sched is None else
-               self.flower.features_forward(self.img_H, self.img_W,
-                                            iters_schedule=sched))
+        # pass only non-default kwargs: fake/test flow backends implement
+        # the plain features_forward(H, W) signature
+        ff_kwargs = {}
+        if sched is not None:
+            ff_kwargs["iters_schedule"] = sched
+        if warm:
+            ff_kwargs["init_slot"] = self._inf_idx
+        fwd = self.flower.features_forward(self.img_H, self.img_W,
+                                           **ff_kwargs)
 
         @partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6))
         def frame(variables, mem_imgs, mem_flow, mem_occl, mem_sigma,
-                  mem_fmap, mem_cnet, img, slots, valid, wslot):
+                  mem_fmap, mem_cnet, img, slots, valid, wslot, pslot=None):
             mems = (mem_imgs, mem_flow, mem_occl, mem_sigma,
                     mem_fmap, mem_cnet)
             mems, result, pairwise = self._fused_frame_body(
                 enc, fwd, occl_thresh, variables, mems, img, slots, valid,
-                wslot)
+                wslot, pslot=pslot if warm else None)
             out = mems + (result,)
             if pairwise_out:
                 out = out + pairwise
@@ -455,27 +518,33 @@ class MFT:
         to K sequential _get_fused_frame calls (same body, chained memory).
         """
         sched = self._iters_schedule()
-        key = (self.img_H, self.img_W, "chunk", K, sched)
+        warm = self._warm_start()
+        key = (self.img_H, self.img_W, "chunk", K, sched, warm)
         cache = self._frame_fn_cache()
         if key in cache:
             return cache[key]
         occl_thresh = float(cfg_value(self.C.occlusion_threshold, 0.02))
         enc = self.flower.padded_encode(self.img_H, self.img_W)
-        fwd = (self.flower.features_forward(self.img_H, self.img_W)
-               if sched is None else
-               self.flower.features_forward(self.img_H, self.img_W,
-                                            iters_schedule=sched))
+        ff_kwargs = {}  # only non-default kwargs: see _get_fused_frame
+        if sched is not None:
+            ff_kwargs["iters_schedule"] = sched
+        if warm:
+            ff_kwargs["init_slot"] = self._inf_idx
+        fwd = self.flower.features_forward(self.img_H, self.img_W,
+                                           **ff_kwargs)
 
         @partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6))
         def chunk(variables, mem_imgs, mem_flow, mem_occl, mem_sigma,
-                  mem_fmap, mem_cnet, imgs, slots, valid, wslots):
+                  mem_fmap, mem_cnet, imgs, slots, valid, wslots,
+                  pslots=None):
             mems = (mem_imgs, mem_flow, mem_occl, mem_sigma,
                     mem_fmap, mem_cnet)
             results = []
             for k in range(K):
                 mems, result, _ = self._fused_frame_body(
                     enc, fwd, occl_thresh, variables, mems, imgs[k],
-                    slots[k], valid[k], wslots[k])
+                    slots[k], valid[k], wslots[k],
+                    pslot=pslots[k] if warm else None)
                 results.append(result)
             stacked = FlowOU(
                 flow=jnp.stack([r.flow for r in results]),
@@ -530,12 +599,16 @@ class MFT:
                 np.ascontiguousarray(im[:, :, ::-1]) if im.dtype == np.uint8
                 else im for im in imgs]))
 
+        pslots = None
+        if self._warm_start():
+            pslots = jnp.asarray([(t - self.time_direction) % self.ring
+                                  for t in ts], jnp.int32)
         step = self._get_fused_chunk(K)
         (self.mem_imgs, self.mem_flow, self.mem_occl, self.mem_sigma,
          self.mem_fmap, self.mem_cnet, stacked) = step(
             self.flower.variables, self.mem_imgs, self.mem_flow,
             self.mem_occl, self.mem_sigma, self.mem_fmap, self.mem_cnet,
-            imgs_d, slots, valid, wslots)
+            imgs_d, slots, valid, wslots, pslots)
         self.current_frame_i = ts[-1]
         metas = []
         for k in range(K):
@@ -555,31 +628,40 @@ class MFT:
         when everything hit, making a warm-cache frame RAFT-free.
         """
         sched = self._iters_schedule()
-        key = (self.img_H, self.img_W, "inject", compute_idx, sched)
+        warm = self._warm_start() and self._inf_idx in compute_idx
+        key = (self.img_H, self.img_W, "inject", compute_idx, sched, warm)
         cache = self._frame_fn_cache()
         if key in cache:
             return cache[key]
         occl_thresh = float(cfg_value(self.C.occlusion_threshold, 0.02))
         enc = self.flower.padded_encode(self.img_H, self.img_W)
-        fwd = (self.flower.features_forward(self.img_H, self.img_W)
-               if sched is None else
-               self.flower.features_forward(
-                   self.img_H, self.img_W,
-                   iters_schedule=tuple(sched[i] for i in compute_idx)))
+        ff_kwargs = {}  # only non-default kwargs: see _get_fused_frame
+        if sched is not None:
+            ff_kwargs["iters_schedule"] = tuple(sched[i] for i in compute_idx)
+        if warm:
+            # init_slot indexes the COMPUTE SUBSET batch (the inf pair's
+            # position within compute_idx), not the full candidate list
+            ff_kwargs["init_slot"] = compute_idx.index(self._inf_idx)
+        fwd = self.flower.features_forward(self.img_H, self.img_W,
+                                           **ff_kwargs)
         idx = jnp.asarray(compute_idx, jnp.int32)
         K = len(compute_idx)
 
         @partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6))
         def frame(variables, mem_imgs, mem_flow, mem_occl, mem_sigma,
                   mem_fmap, mem_cnet, img, slots, valid, wslot,
-                  inj_flows, inj_occls, inj_sigmas):
+                  inj_flows, inj_occls, inj_sigmas, pslot=None):
             f_new, c_new = enc(variables, img[None].astype(jnp.float32))
             flows, occls, sigmas = inj_flows, inj_occls, inj_sigmas
             if K:
                 fmap1 = jnp.take(mem_fmap, jnp.take(slots, idx), axis=0)
                 cnet1 = jnp.take(mem_cnet, jnp.take(slots, idx), axis=0)
                 fmap2 = jnp.broadcast_to(f_new, (K, *f_new.shape[1:]))
-                cf, co, cs = fwd(variables, fmap1, fmap2, cnet1)
+                if warm:
+                    cf, co, cs = fwd(variables, fmap1, fmap2, cnet1,
+                                     mem_flow[pslot])
+                else:
+                    cf, co, cs = fwd(variables, fmap1, fmap2, cnet1)
                 flows = flows.at[idx].set(cf)
                 occls = occls.at[idx].set(co)
                 sigmas = sigmas.at[idx].set(cs)

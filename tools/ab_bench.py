@@ -32,12 +32,15 @@ def make_tracker(raft_overrides):
     flow_cfg.model = None
     flow_cfg.flow_iters = int(params.pop("_iters", 12))
     schedule = params.pop("_schedule", None)  # list aligned w/ sorted deltas
+    warm = bool(params.pop("_warm_start", False))  # template-pair warm start
     cfg = Config()
     cfg.flow_config = flow_cfg
     cfg.deltas = [np.inf, 1, 2, 4, 8, 16, 32]
     cfg.occlusion_threshold = 0.02
     if schedule is not None:
         cfg.flow_iters_schedule = [int(i) for i in schedule]
+    if warm:
+        cfg.warm_start_inf = True
     return MFT(cfg)
 
 
