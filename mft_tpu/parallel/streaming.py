@@ -45,6 +45,8 @@ class StreamingTracker:
         self._single.deltas = self.deltas
         self._single.ring = self.ring
         self._single.template_slot = self.template_slot
+        self._single._inf_idx = next((i for i, d in enumerate(self.deltas)
+                                      if np.isinf(d)), None)
         self._single.C = config
 
     def _put(self, x):
@@ -92,13 +94,14 @@ class StreamingTracker:
         slots = jnp.asarray([c.slot for c in cands], jnp.int32)
         valid = jnp.asarray([c.valid for c in cands], bool)
         wslot = jnp.int32(t % self.ring)
+        pslot = jnp.int32((t - 1) % self.ring)  # warm-start mode only
         if self._use_features():
             step = self._get_step()
             (self.mem_imgs, self.mem_flow, self.mem_occl, self.mem_sigma,
              self.mem_fmap, self.mem_cnet,
              result) = step(self.mem_imgs, self.mem_flow, self.mem_occl,
                             self.mem_sigma, self.mem_fmap, self.mem_cnet,
-                            imgs, slots, valid, wslot,
+                            imgs, slots, valid, wslot, pslot,
                             self.flower.variables)
         else:
             step = self._get_step_images()
@@ -132,6 +135,11 @@ class StreamingTracker:
         sched = MFT._iters_schedule(self._single)
         if sched is not None:
             iters = tuple(sched) * self.n_clips
+        # template-pair warm start (C.warm_start_inf, documented speed mode
+        # — see tracker/mft.py MFT._warm_start): each clip's delta=inf pair
+        # starts from that clip's previous selected flow
+        warm = MFT._warm_start(self._single)
+        inf_idx = self._single._inf_idx
 
         def per_clip(mem_imgs, mem_flow, mem_occl, mem_sigma, img,
                      flows, occls, sigmas, slots, valid, wslot):
@@ -147,7 +155,7 @@ class StreamingTracker:
             return mem_imgs, mem_flow, mem_occl, mem_sigma, result
 
         def step(mem_imgs, mem_flow, mem_occl, mem_sigma, mem_fmap, mem_cnet,
-                 imgs, slots, valid, wslot, variables):
+                 imgs, slots, valid, wslot, pslot, variables):
             C = imgs.shape[0]
             # encode only the C new frames; left features come from the ring
             x = 2.0 * (imgs.astype(jnp.float32) / 255.0) - 1.0
@@ -158,10 +166,18 @@ class StreamingTracker:
             cnet1 = jax.vmap(lambda m: jnp.take(m, slots, axis=0))(mem_cnet)
             fmap2 = jnp.broadcast_to(f_new[:, None], fmap1.shape)
             flat = lambda z: z.reshape(C * n_delta, *z.shape[2:])
+            flow_init = None
+            if warm:
+                from mft_tpu.models.raft.upsample import downsample_flow8
+                prev8 = downsample_flow8(mem_flow[:, pslot])  # (C, h8, w8, 2)
+                flow_init = flat(jnp.zeros((C, n_delta, *prev8.shape[1:]),
+                                           jnp.float32
+                                           ).at[:, inf_idx].set(prev8))
             out = model.apply(
                 variables, flat(fmap1), flat(fmap2), flat(cnet1),
                 method=lambda m, a, b, c: m.flow_from_features(
-                    a, b, c, iters=iters, test_mode=True))
+                    a, b, c, iters=iters, flow_init=flow_init,
+                    test_mode=True))
             flow = out["flow"].reshape(C, n_delta, *out["flow"].shape[1:])
             occl = jax.nn.softmax(out["occlusion"], axis=-1)[..., 1].reshape(
                 C, n_delta, *out["flow"].shape[1:3])
@@ -184,13 +200,15 @@ class StreamingTracker:
         ``encode`` method (e.g. test fakes): full pair-batched forward."""
         if getattr(self, "_step_img", None) is not None:
             return self._step_img
-        if self.C.flow_iters_schedule:
-            # this path bakes the uniform iteration count into the jitted
-            # step; silently dropping a configured per-delta schedule would
-            # measure a mode the config does not describe
+        if self.C.flow_iters_schedule or self.C.warm_start_inf:
+            # this path bakes the uniform zero-init iteration count into the
+            # jitted step; silently dropping a configured schedule or
+            # warm-start mode would measure a mode the config does not
+            # describe
             raise NotImplementedError(
-                "flow_iters_schedule requires the feature-ring streaming "
-                "step (a flow backend with encode()); this backend has none")
+                "flow_iters_schedule/warm_start_inf require the feature-ring "
+                "streaming step (a flow backend with encode()); this backend "
+                "has none")
         occl_thresh = float(cfg_value(self.C.occlusion_threshold, 0.02))
         n_delta = len(self.deltas)
         model = self.flower.model

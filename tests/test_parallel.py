@@ -154,3 +154,43 @@ def test_streaming_schedule_matches_single_tracker():
 
     np.testing.assert_allclose(np.asarray(res.flow[1]),
                                np.asarray(meta.result.flow), atol=1e-3)
+
+
+def test_streaming_warm_start_matches_single_tracker():
+    """Template-pair warm starting (C.warm_start_inf) in streaming mode must
+    produce the same per-clip results as the single-clip warm tracker: each
+    clip's delta=inf pair starts from that clip's previous selected flow."""
+    from mft_tpu.config import Config
+    from mft_tpu.models.raft import RAFTFlow
+    from mft_tpu.parallel.streaming import StreamingTracker
+    from mft_tpu.tracker import MFT
+
+    fc = Config()
+    fc.of_class = RAFTFlow
+    fc.raft_params = {"occlusion_module": "separate_with_uncertainty"}
+    fc.model = None
+    fc.flow_iters = 2
+    cfg = Config()
+    cfg.flow_config = fc
+    cfg.deltas = [np.inf, 1]
+    cfg.occlusion_threshold = 0.02
+    cfg.warm_start_inf = True
+
+    rng = np.random.default_rng(6)
+    T, C, H, W = 4, 2, 64, 64
+    clips = rng.integers(0, 255, (T, C, H, W, 3), dtype=np.uint8)
+
+    st = StreamingTracker(cfg, n_clips=C)
+    st.init(clips[0])
+    for t in range(1, T):
+        res = st.track(clips[t])
+
+    single = MFT(cfg)
+    single.init(clips[0, 1])
+    for t in range(1, T):
+        meta = single.track(clips[t, 1])
+
+    np.testing.assert_allclose(np.asarray(res.flow[1]),
+                               np.asarray(meta.result.flow), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(res.sigma[1]),
+                               np.asarray(meta.result.sigma), atol=1e-3)
