@@ -92,6 +92,15 @@ def _flow_identity(cfg):
 def run(args):
     configs = [load_config(p) for p in args.trackers]
     config = configs[0]
+    for cfg in configs:
+        # the runner swaps tracker.C per config WITHOUT re-running
+        # MFT.__init__, so its config invariant must be checked here for
+        # every config (see MFT.__init__)
+        if cfg.warm_start_inf and cfg.cache_delta_infinity:
+            raise ValueError(
+                f"config {cfg.name}: warm_start_inf and cache_delta_infinity "
+                "cannot be combined (warm-started template flows depend on "
+                "tracking history and are not reusable cache entries)")
     for cfg in configs[1:]:
         if _flow_identity(cfg) != _flow_identity(config):
             raise ValueError(

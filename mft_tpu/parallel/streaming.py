@@ -48,6 +48,8 @@ class StreamingTracker:
         self._single._inf_idx = next((i for i, d in enumerate(self.deltas)
                                       if np.isinf(d)), None)
         self._single.C = config
+        self._warm = MFT._warm_start(self._single)
+        self._pslot_cache = {}
 
     def _put(self, x):
         if self.mesh is None:
@@ -94,7 +96,12 @@ class StreamingTracker:
         slots = jnp.asarray([c.slot for c in cands], jnp.int32)
         valid = jnp.asarray([c.valid for c in cands], bool)
         wslot = jnp.int32(t % self.ring)
-        pslot = jnp.int32((t - 1) % self.ring)  # warm-start mode only
+        pslot = None
+        if self._warm:  # warm-start mode only: cached periodic upload
+            pv = (t - 1) % self.ring
+            if pv not in self._pslot_cache:
+                self._pslot_cache[pv] = jnp.int32(pv)
+            pslot = self._pslot_cache[pv]
         if self._use_features():
             step = self._get_step()
             (self.mem_imgs, self.mem_flow, self.mem_occl, self.mem_sigma,
@@ -138,7 +145,7 @@ class StreamingTracker:
         # template-pair warm start (C.warm_start_inf, documented speed mode
         # — see tracker/mft.py MFT._warm_start): each clip's delta=inf pair
         # starts from that clip's previous selected flow
-        warm = MFT._warm_start(self._single)
+        warm = self._warm
         inf_idx = self._single._inf_idx
 
         def per_clip(mem_imgs, mem_flow, mem_occl, mem_sigma, img,
@@ -200,7 +207,7 @@ class StreamingTracker:
         ``encode`` method (e.g. test fakes): full pair-batched forward."""
         if getattr(self, "_step_img", None) is not None:
             return self._step_img
-        if self.C.flow_iters_schedule or self.C.warm_start_inf:
+        if self.C.flow_iters_schedule or self._warm:
             # this path bakes the uniform zero-init iteration count into the
             # jitted step; silently dropping a configured schedule or
             # warm-start mode would measure a mode the config does not

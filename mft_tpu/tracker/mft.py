@@ -53,7 +53,6 @@ class MFT:
 
     def __init__(self, config):
         self.C = config  # must be named self.C, may be monkeypatched by runners
-        self.flower = config.flow_config.of_class(config.flow_config)
         deltas = list(config.deltas)
         self.deltas = sorted(deltas, key=lambda d: 0 if np.isinf(d) else d)
         finite = [int(d) for d in self.deltas if np.isfinite(d)]
@@ -62,11 +61,14 @@ class MFT:
         self._inf_idx = next((i for i, d in enumerate(self.deltas)
                               if np.isinf(d)), None)
         self._step_fn = None
+        # validate the pure-config invariant BEFORE the expensive model
+        # construction below
         if self._warm_start() and bool(self.C.cache_delta_infinity):
             raise ValueError(
                 "warm_start_inf and cache_delta_infinity cannot be combined: "
                 "warm-started template flows depend on the tracking history "
                 "that produced them, so they are not reusable cache entries")
+        self.flower = config.flow_config.of_class(config.flow_config)
 
     def _warm_start(self):
         """Documented non-default speed/accuracy mode (``C.warm_start_inf``):
@@ -173,6 +175,36 @@ class MFT:
             raise ValueError(
                 f"flow_iters_schedule len {len(out)} != {len(self.deltas)} deltas")
         return out
+
+    def _features_fwd(self, compute_idx=None):
+        """Build the flower's features->flow closure for the configured mode.
+
+        Collects the non-default kwargs (iteration schedule, warm-start init
+        slot) in ONE place for the frame/chunk/inject builders; fake/test
+        flow backends implement only the plain ``features_forward(H, W)``
+        signature, so defaults are never passed explicitly.
+
+        ``compute_idx`` (inject variant): the static candidate subset that
+        runs through RAFT — the schedule is sliced to it and the init slot
+        indexes the SUBSET batch. Returns ``(fwd, warm)`` where ``warm``
+        says whether the closure takes a warm-start init argument.
+        """
+        sched = self._iters_schedule()
+        warm = self._warm_start()
+        kw = {}
+        if compute_idx is None:
+            if sched is not None:
+                kw["iters_schedule"] = sched
+            if warm:
+                kw["init_slot"] = self._inf_idx
+        else:
+            warm = warm and self._inf_idx in compute_idx
+            if sched is not None:
+                kw["iters_schedule"] = tuple(sched[i] for i in compute_idx)
+            if warm:
+                kw["init_slot"] = compute_idx.index(self._inf_idx)
+        return (self.flower.features_forward(self.img_H, self.img_W, **kw),
+                warm)
 
     def _get_encode(self):
         key = ("enc", self.img_H, self.img_W)
@@ -483,15 +515,7 @@ class MFT:
             return cache[key]
         occl_thresh = float(cfg_value(self.C.occlusion_threshold, 0.02))
         enc = self.flower.padded_encode(self.img_H, self.img_W)
-        # pass only non-default kwargs: fake/test flow backends implement
-        # the plain features_forward(H, W) signature
-        ff_kwargs = {}
-        if sched is not None:
-            ff_kwargs["iters_schedule"] = sched
-        if warm:
-            ff_kwargs["init_slot"] = self._inf_idx
-        fwd = self.flower.features_forward(self.img_H, self.img_W,
-                                           **ff_kwargs)
+        fwd, warm = self._features_fwd()
 
         @partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6))
         def frame(variables, mem_imgs, mem_flow, mem_occl, mem_sigma,
@@ -525,13 +549,7 @@ class MFT:
             return cache[key]
         occl_thresh = float(cfg_value(self.C.occlusion_threshold, 0.02))
         enc = self.flower.padded_encode(self.img_H, self.img_W)
-        ff_kwargs = {}  # only non-default kwargs: see _get_fused_frame
-        if sched is not None:
-            ff_kwargs["iters_schedule"] = sched
-        if warm:
-            ff_kwargs["init_slot"] = self._inf_idx
-        fwd = self.flower.features_forward(self.img_H, self.img_W,
-                                           **ff_kwargs)
+        fwd, warm = self._features_fwd()
 
         @partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6))
         def chunk(variables, mem_imgs, mem_flow, mem_occl, mem_sigma,
@@ -601,8 +619,13 @@ class MFT:
 
         pslots = None
         if self._warm_start():
-            pslots = jnp.asarray([(t - self.time_direction) % self.ring
-                                  for t in ts], jnp.int32)
+            # periodic in t like slots/valid/wslots: cache the upload
+            pkey = ("pslots",) + key
+            if pkey not in cache:
+                cache[pkey] = jnp.asarray(
+                    [(t - self.time_direction) % self.ring for t in ts],
+                    jnp.int32)
+            pslots = cache[pkey]
         step = self._get_fused_chunk(K)
         (self.mem_imgs, self.mem_flow, self.mem_occl, self.mem_sigma,
          self.mem_fmap, self.mem_cnet, stacked) = step(
@@ -635,15 +658,7 @@ class MFT:
             return cache[key]
         occl_thresh = float(cfg_value(self.C.occlusion_threshold, 0.02))
         enc = self.flower.padded_encode(self.img_H, self.img_W)
-        ff_kwargs = {}  # only non-default kwargs: see _get_fused_frame
-        if sched is not None:
-            ff_kwargs["iters_schedule"] = tuple(sched[i] for i in compute_idx)
-        if warm:
-            # init_slot indexes the COMPUTE SUBSET batch (the inf pair's
-            # position within compute_idx), not the full candidate list
-            ff_kwargs["init_slot"] = compute_idx.index(self._inf_idx)
-        fwd = self.flower.features_forward(self.img_H, self.img_W,
-                                           **ff_kwargs)
+        fwd, warm = self._features_fwd(compute_idx)
         idx = jnp.asarray(compute_idx, jnp.int32)
         K = len(compute_idx)
 
