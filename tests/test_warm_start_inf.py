@@ -181,3 +181,44 @@ def test_warm_start_rejects_cached_inf():
     cfg.cache_delta_infinity = True
     with pytest.raises(ValueError, match="warm_start_inf"):
         MFT(cfg)
+
+
+def test_backward_tracking_warm_fused_vs_unfused():
+    """time_direction=-1: _prev_slot must point at frame t+1's result."""
+    frames = _clip(4, seed=9)
+    res = {}
+    for timers in (False, True):
+        tr = _tracker(warm=True, timers=timers)
+        tr.init(frames[-1], start_frame_i=3, time_direction=-1)
+        outs = [tr.track(f).result for f in frames[2::-1]]
+        res[timers] = outs
+    for a, b in zip(res[False], res[True]):
+        np.testing.assert_allclose(np.asarray(a.flow), np.asarray(b.flow),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_flow_cache_path_matches_uncached_warm(tmp_path):
+    """The TAP-Vid runner path (FlowCache attached) under warm start:
+    cold pass (full-batch + write-back) and warm-cache pass (inject
+    variant computing only the inf pair) must both equal the uncached
+    warm tracker."""
+    from mft_tpu.io.cache import FlowCache
+
+    frames = _clip(4, seed=12)
+
+    def run(cache):
+        tr = _tracker(warm=True)
+        tr.init(frames[0], flow_cache=cache)
+        return [tr.track(f).result for f in frames[1:]]
+
+    ref = run(None)
+    cache = FlowCache(tmp_path / "wc")
+    cold = run(cache)   # all finite pairs miss -> full-batch variant
+    hot = run(cache)    # all finite pairs hit -> inject variant (inf only)
+    for name, outs in (("cold", cold), ("hot", hot)):
+        for a, b in zip(ref, outs):
+            np.testing.assert_allclose(np.asarray(a.flow), np.asarray(b.flow),
+                                       rtol=1e-4, atol=1e-4, err_msg=name)
+            np.testing.assert_allclose(np.asarray(a.sigma),
+                                       np.asarray(b.sigma),
+                                       rtol=1e-4, atol=1e-4, err_msg=name)
