@@ -106,7 +106,10 @@ def main():
     H = W = int(os.environ.get("BENCH_SIZE", 512))  # CPU smoke: BENCH_SIZE=128
     rng = np.random.default_rng(0)
     n_warm = 4
-    chunk = int(os.environ.get("BENCH_CHUNK", 16))
+    # the remote tunnel's completion poll costs ~28 ms per blocking fetch
+    # REGARDLESS of queued work (a tunnel artifact a local chip would not
+    # have); 32 frames per fetch bounds that artifact at <1 ms/frame
+    chunk = int(os.environ.get("BENCH_CHUNK", 32))
     n_chunks = int(os.environ.get("BENCH_CHUNKS", 3))
     n_frames = 1 + n_warm + chunk * n_chunks
     frames = [rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
