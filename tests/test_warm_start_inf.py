@@ -140,6 +140,7 @@ def test_first_frame_matches_plain_tracker():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_warm_start_changes_later_frames():
     frames = _clip(4, seed=2)
     res = {}
@@ -183,6 +184,7 @@ def test_warm_start_rejects_cached_inf():
         MFT(cfg)
 
 
+@pytest.mark.slow
 def test_backward_tracking_warm_fused_vs_unfused():
     """time_direction=-1: _prev_slot must point at frame t+1's result."""
     frames = _clip(4, seed=9)
@@ -197,6 +199,7 @@ def test_backward_tracking_warm_fused_vs_unfused():
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_flow_cache_path_matches_uncached_warm(tmp_path):
     """The TAP-Vid runner path (FlowCache attached) under warm start:
     cold pass (full-batch + write-back) and warm-cache pass (inject
