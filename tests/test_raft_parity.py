@@ -162,3 +162,38 @@ def test_convert_cli_round_trip(tmp_path):
     for (pr, vr), (pd, vd) in zip(flat_r, flat_d):
         assert pr == pd
         np.testing.assert_array_equal(np.asarray(vr), np.asarray(vd))
+
+
+def test_full_raft_forward_parity_with_flow_init(rng):
+    """Warm-started forward parity: the same low-res flow_init fed to both
+    implementations (the reference's video warm-start input,
+    MFT/RAFT/core/raft.py:153-154) must produce the same outputs. Pins the
+    mechanism behind the tracker's warm_start_inf mode."""
+    tm = make_torch_model(seed=1)
+    variables = torch_statedict_to_variables(tm.state_dict())
+    variables = jax.tree.map(jnp.asarray, variables)
+
+    H, W = 128, 192
+    img1 = rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32)
+    img2 = rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32)
+    init8 = rng.normal(0, 1.5, (1, H // 8, W // 8, 2)).astype(np.float32)
+
+    with torch.no_grad():
+        out_t = tm(torch.from_numpy(np.transpose(img1, (0, 3, 1, 2))),
+                   torch.from_numpy(np.transpose(img2, (0, 3, 1, 2))),
+                   iters=3,
+                   flow_init=torch.from_numpy(
+                       np.transpose(init8, (0, 3, 1, 2))),
+                   test_mode=True)
+
+    model = RAFT(cfg=RAFTParams())
+    out_j = model.apply(variables, jnp.asarray(img1), jnp.asarray(img2),
+                        iters=3, flow_init=jnp.asarray(init8),
+                        test_mode=True)
+
+    for key in ("flow", "occlusion", "uncertainty"):
+        want = out_t[key].numpy()
+        got = np.transpose(np.asarray(out_j[key]), (0, 3, 1, 2))
+        assert got.shape == want.shape, key
+        np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-3,
+                                   err_msg=key)
