@@ -17,7 +17,7 @@ Three modes are measured:
   reference's own RAFT video warm-start mechanism) and runs 5 iterations
   (tests/test_warm_start_inf.py).
 
-The headline "value" is the best of the modes (normally the warm mode);
+The headline "value" is the best of the modes;
 "parity_fps"/"fast_fps"/"warm_fps" report all in the same line. The model runs with deterministic random-init weights
 (the trained checkpoint is not distributed, same as the reference repo) —
 FPS does not depend on weight values. The persistent XLA compilation cache
