@@ -197,3 +197,60 @@ def test_full_raft_forward_parity_with_flow_init(rng):
         assert got.shape == want.shape, key
         np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-3,
                                    err_msg=key)
+
+
+def _perturb_to_trained_like(tm, rng):
+    """Give the fresh torch oracle trained-checkpoint-like statistics.
+
+    Fresh torch init leaves every norm at weight=1 / bias=0 and BatchNorm
+    running stats at mean=0 / var=1 — exactly the values where a converter
+    that ignored or mis-mapped those fields would still pass the random-init
+    parity tests. Real trained checkpoints (the reference ships a 50k-step
+    .pth, configs/flow/RAFTou_kubric_huber_split_nonoccl.py:25) have none of
+    that, so this simulates them: non-trivial norm affine params, shifted
+    running means, log-normal running variances, and rescaled conv weights.
+    """
+    with torch.no_grad():
+        for name, p in tm.named_parameters():
+            if p.ndim <= 1:  # norm scales/biases + conv biases
+                p.add_(torch.from_numpy(
+                    rng.normal(0.0, 0.3, p.shape).astype(np.float32)))
+            else:  # conv kernels: vary per-tensor magnitude like training does
+                p.mul_(float(np.exp(rng.normal(0.0, 0.2))))
+        for name, b in tm.named_buffers():
+            if name.endswith("running_mean"):
+                b.copy_(torch.from_numpy(
+                    rng.normal(0.0, 1.5, b.shape).astype(np.float32)))
+            elif name.endswith("running_var"):
+                b.copy_(torch.from_numpy(
+                    np.exp(rng.normal(0.0, 1.0, b.shape)).astype(np.float32)))
+
+
+def test_full_raft_forward_parity_trained_like_stats(rng):
+    """Converter parity with non-trivial norm affine params + running stats
+    (the closest available stand-in for the missing trained .pth blob)."""
+    tm = make_torch_model(seed=2)
+    _perturb_to_trained_like(tm, rng)
+    tm.eval()
+    variables = torch_statedict_to_variables(tm.state_dict())
+    variables = jax.tree.map(jnp.asarray, variables)
+
+    H, W = 128, 192
+    img1 = rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32)
+    img2 = rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        out_t = tm(torch.from_numpy(np.transpose(img1, (0, 3, 1, 2))),
+                   torch.from_numpy(np.transpose(img2, (0, 3, 1, 2))),
+                   iters=2, test_mode=True)
+
+    model = RAFT(cfg=RAFTParams())
+    out_j = model.apply(variables, jnp.asarray(img1), jnp.asarray(img2),
+                        iters=2, test_mode=True)
+
+    for key in ("flow", "occlusion", "uncertainty"):
+        want = out_t[key].numpy()
+        got = np.transpose(np.asarray(out_j[key]), (0, 3, 1, 2))
+        assert got.shape == want.shape, key
+        np.testing.assert_allclose(got, want, atol=1e-2, rtol=2e-3,
+                                   err_msg=key)
