@@ -17,8 +17,12 @@ Three modes are measured:
   reference's own RAFT video warm-start mechanism) and runs 5 iterations
   (tests/test_warm_start_inf.py).
 
-The headline "value" is the best of the modes;
-"parity_fps"/"fast_fps"/"warm_fps" report all in the same line. The model runs with deterministic random-init weights
+The headline "value" is the PARITY number (the reference-exact 12-iteration
+configuration that BASELINE.md's >=30 FPS north star is defined over);
+"fast_fps"/"warm_fps" report the labeled speed modes in the same line.
+"mfu" is achieved-TFLOP/s / peak, from the counted per-frame FLOP budget
+(mft_tpu/utils/flops.py — conv/matmul terms only, so a slight under-count)
+at the parity FPS. The model runs with deterministic random-init weights
 (the trained checkpoint is not distributed, same as the reference repo) —
 FPS does not depend on weight values. The persistent XLA compilation cache
 under .jax_cache makes repeated runs skip the first-compile cost.
@@ -122,15 +126,25 @@ def main():
         make_tracker(WARM_SCHEDULE, FAST_RAFT_OVERRIDES, warm_start=True),
         frames, n_warm, chunk, n_chunks)
 
-    fps = max(warm_fps, fast_fps, parity_fps)
-    print(json.dumps({
+    from mft_tpu.utils.flops import frame_flops, tpu_peak_flops
+    fpf = frame_flops(H, W, n_pairs=7, iters=12)
+    peak = tpu_peak_flops()
+    achieved = fpf * parity_fps
+    out = {
         "metric": "dense_tracking_fps_512px_full_deltas",
-        "value": round(fps, 2),
+        "value": round(parity_fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 30.0, 3),
+        "vs_baseline": round(parity_fps / 30.0, 3),
         "parity_fps": round(parity_fps, 2),
         "fast_fps": round(fast_fps, 2),
         "warm_fps": round(warm_fps, 2),
+        "tflops_per_frame": round(fpf / 1e12, 3),
+        "achieved_tflops": round(achieved / 1e12, 1),
+    }
+    if peak:
+        out["mfu"] = round(achieved / peak, 3)
+    print(json.dumps({
+        **out,
         "fast_mode": "per-delta GRU iteration schedule "
                      f"{FAST_SCHEDULE} (configs/MFT_fast_cfg.py)",
         "warm_mode": "fast schedule + template-pair warm start "

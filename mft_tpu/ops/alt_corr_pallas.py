@@ -122,6 +122,12 @@ def corr_lookup_alt(fmap1_flat, f2_pyramid, coords, radius: int = 4,
         out_specs=pl.BlockSpec((1, tp, L * n * n), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, P, L * n * n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            # the recomputed (TILE_P, h*w) correlation slice pushes scoped
+            # VMEM past the 16M default at 512px (36M); the limit is a
+            # compiler knob, not hardware VMEM (cf. corr_lookup_pallas)
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(coords.astype(jnp.float32),
       fmap1_flat.astype(f2_pyramid[0][0].dtype),

@@ -42,6 +42,13 @@ def _tile_p(P: int, cap: int = 256) -> int:
     return t if t >= 8 else 0
 
 
+# DIAGNOSTIC ONLY (tools/attrib_bench.py 'cheapw' variant): when True the
+# pixel-major kernel replaces the tent weights with constants of the same
+# shape — the MXU dots and DMA stay identical while the VPU weight build
+# vanishes, isolating the build's share of the lookup cost. Wrong math.
+_DIAG_FAKE_WEIGHTS = False
+
+
 # --------------------------------------------------------------------------- #
 # layout A: (B, P, h, w) pixel-major blocks, batched MXU dots
 # --------------------------------------------------------------------------- #
@@ -59,17 +66,23 @@ def _kernel_pixel_major(coords_ref, *rest, radius: int, tile_p: int,
         inv = 1.0 / (2.0 ** lvl)
         base = lvl * n * n
 
-        kx = jax.lax.broadcasted_iota(jnp.int32, (tile_p, n, w), 1).astype(jnp.float32) - radius
-        xx = jax.lax.broadcasted_iota(jnp.int32, (tile_p, n, w), 2).astype(jnp.float32)
-        wx = jnp.maximum(0.0, 1.0 - jnp.abs(cx * inv + kx - xx)).astype(dt)
+        if _DIAG_FAKE_WEIGHTS:
+            wx = (cx * inv).astype(dt) * jnp.ones((tile_p, n, w), dt)
+        else:
+            kx = jax.lax.broadcasted_iota(jnp.int32, (tile_p, n, w), 1).astype(jnp.float32) - radius
+            xx = jax.lax.broadcasted_iota(jnp.int32, (tile_p, n, w), 2).astype(jnp.float32)
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(cx * inv + kx - xx)).astype(dt)
 
         def contract(corr, row0, k):
             """Tent-contract (TILE_P, k, w) rows starting at map row row0."""
-            ky = jax.lax.broadcasted_iota(
-                jnp.int32, (tile_p, n, k), 1).astype(jnp.float32) - radius
-            yy = row0 + jax.lax.broadcasted_iota(
-                jnp.int32, (tile_p, n, k), 2).astype(jnp.float32)
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(cy * inv + ky - yy)).astype(dt)
+            if _DIAG_FAKE_WEIGHTS:
+                wy = (cy * inv).astype(dt) * jnp.ones((tile_p, n, k), dt)
+            else:
+                ky = jax.lax.broadcasted_iota(
+                    jnp.int32, (tile_p, n, k), 1).astype(jnp.float32) - radius
+                yy = row0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (tile_p, n, k), 2).astype(jnp.float32)
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(cy * inv + ky - yy)).astype(dt)
             # T[p, j, x] = sum_y Wy[p, j, y] corr[p, y, x]  (batched MXU dot)
             t = jax.lax.dot_general(
                 wy, corr,

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from mft_tpu.config import cfg_value
 from mft_tpu.core.flowou import FlowOU, identity_flowou
-from mft_tpu.tracker.fused import chain_select
+from mft_tpu.tracker.fused import chain_select, chain_select_ref
 
 logger = logging.getLogger(__name__)
 
@@ -69,6 +69,11 @@ class MFT:
                 "warm-started template flows depend on the tracking history "
                 "that produced them, so they are not reusable cache entries")
         self.flower = config.flow_config.of_class(config.flow_config)
+        # C.exact_chain: force the exact jnp chain+select implementation
+        # (chain_select_ref) instead of the TPU Pallas path — the oracle
+        # side of the TPU-path drift measurement (tools/tpu_drift.py)
+        self._chain_fn = (chain_select_ref if bool(self.C.exact_chain)
+                          else chain_select)
 
     def _warm_start(self):
         """Documented non-default speed/accuracy mode (``C.warm_start_inf``):
@@ -490,7 +495,7 @@ class MFT:
                       occlusion=jnp.take(mem_occl, slots, axis=0),
                       sigma=jnp.take(mem_sigma, slots, axis=0))
         right = FlowOU(flow=flows, occlusion=occls, sigma=sigmas)
-        result = chain_select(left, right, valid, occl_thresh)
+        result = self._chain_fn(left, right, valid, occl_thresh)
         mem_imgs = mem_imgs.at[wslot].set(img)
         mem_flow = mem_flow.at[wslot].set(result.flow)
         mem_occl = mem_occl.at[wslot].set(result.occlusion)
@@ -684,7 +689,7 @@ class MFT:
                           occlusion=jnp.take(mem_occl, slots, axis=0),
                           sigma=jnp.take(mem_sigma, slots, axis=0))
             right = FlowOU(flow=flows, occlusion=occls, sigma=sigmas)
-            result = chain_select(left, right, valid, occl_thresh)
+            result = self._chain_fn(left, right, valid, occl_thresh)
             mem_imgs = mem_imgs.at[wslot].set(img)
             mem_flow = mem_flow.at[wslot].set(result.flow)
             mem_occl = mem_occl.at[wslot].set(result.occlusion)
@@ -711,7 +716,7 @@ class MFT:
             right = FlowOU(flow=flows, occlusion=occls, sigma=sigmas)
             # fused select-late path: chain occl/sigma for all candidates,
             # chain flow only for the per-pixel winner (fewer gathers)
-            result = chain_select(left, right, valid, occl_thresh)
+            result = self._chain_fn(left, right, valid, occl_thresh)
             mem_imgs = mem_imgs.at[wslot].set(img)
             mem_flow = mem_flow.at[wslot].set(result.flow)
             mem_occl = mem_occl.at[wslot].set(result.occlusion)

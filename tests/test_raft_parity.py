@@ -200,30 +200,14 @@ def test_full_raft_forward_parity_with_flow_init(rng):
 
 
 def _perturb_to_trained_like(tm, rng):
-    """Give the fresh torch oracle trained-checkpoint-like statistics.
-
-    Fresh torch init leaves every norm at weight=1 / bias=0 and BatchNorm
-    running stats at mean=0 / var=1 — exactly the values where a converter
-    that ignored or mis-mapped those fields would still pass the random-init
-    parity tests. Real trained checkpoints (the reference ships a 50k-step
-    .pth, configs/flow/RAFTou_kubric_huber_split_nonoccl.py:25) have none of
-    that, so this simulates them: non-trivial norm affine params, shifted
-    running means, log-normal running variances, and rescaled conv weights.
-    """
-    with torch.no_grad():
-        for name, p in tm.named_parameters():
-            if p.ndim <= 1:  # norm scales/biases + conv biases
-                p.add_(torch.from_numpy(
-                    rng.normal(0.0, 0.3, p.shape).astype(np.float32)))
-            else:  # conv kernels: vary per-tensor magnitude like training does
-                p.mul_(float(np.exp(rng.normal(0.0, 0.2))))
-        for name, b in tm.named_buffers():
-            if name.endswith("running_mean"):
-                b.copy_(torch.from_numpy(
-                    rng.normal(0.0, 1.5, b.shape).astype(np.float32)))
-            elif name.endswith("running_var"):
-                b.copy_(torch.from_numpy(
-                    np.exp(rng.normal(0.0, 1.0, b.shape)).astype(np.float32)))
+    """Trained-checkpoint-like statistics; canonical impl lives in
+    tools/tapvid_parity.py (shared with the e2e + metric parity tests)."""
+    from pathlib import Path
+    repo = str(Path(__file__).resolve().parents[1])
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    from tools.tapvid_parity import perturb_to_trained_like
+    perturb_to_trained_like(tm, rng)
 
 
 def test_full_raft_forward_parity_trained_like_stats(rng):

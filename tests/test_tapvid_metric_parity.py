@@ -28,11 +28,27 @@ pytestmark = [
 ]
 
 
-def test_tapvid_metrics_match_reference(tmp_path):
-    from tools.tapvid_parity import run_parity
+@pytest.mark.parametrize("weights", ["random", "trained-like"])
+def test_tapvid_metrics_match_reference(tmp_path, weights):
+    from tools.tapvid_parity import run_parity, KEY_METRICS
 
-    report, worst = run_parity(tmp_path, T=5, H=128, W=128, n_tracks=6,
-                               finite_deltas=(1, 2), iters=3)
+    # occl_gain + occluded_gt keep predicted AND GT visibility varied, so
+    # AJ / OA / jaccard TP-FP-FN and the 0.5 binarization are compared at
+    # non-degenerate values (not pinned at 0.00 like plain random init);
+    # trained-like exercises the converter under non-trivial norm affine
+    # params + running stats end-to-end (VERDICT r2 item 7)
+    report, worst, ref, _ = run_parity(tmp_path, T=5, H=128, W=128,
+                                       n_tracks=6, finite_deltas=(1, 2),
+                                       iters=3, occl_gain=8.0,
+                                       occluded_gt=True,
+                                       trained_like=weights == "trained-like")
     # identical predictions through identical protocol code paths: the
     # headline metrics must agree to well under one point (x100 scale)
     assert worst < 0.5, f"metric divergence {worst:.3f}\n{report}"
+    for qm, df in ref.items():
+        vals = df.drop(columns=["seq"], errors="ignore").mean()
+        for metric in KEY_METRICS:
+            v = float(vals[metric])
+            assert 0.0 < v, f"{qm}/{metric} degenerate at {v}\n{report}"
+        assert float(vals["occlusion_accuracy"]) < 1.0, (
+            f"{qm} occlusion accuracy saturated\n{report}")

@@ -65,6 +65,18 @@ def main():
         return jnp.broadcast_to(coords[..., :1].astype(jnp.bfloat16),
                                 (B, H, W, 4 * n * n))
 
+    def no_lookup2(pyramid, coords, radius=4, method="auto", out_dtype=None,
+                   tile_p=0):
+        # channel-VARYING cheap stub: a broadcast output lets XLA's algebraic
+        # simplifier collapse the motion encoder's first convs (a 1x1 conv of
+        # a channel-constant input is a scalar multiply), so 'nolookup'
+        # OVERSTATES the lookup. iota channels keep the consumers honest.
+        B, H, W, _ = coords.shape
+        n = 2 * radius + 1
+        chan = jax.lax.broadcasted_iota(
+            jnp.bfloat16, (1, 1, 1, 4 * n * n), 3) * 0.01
+        return coords[..., :1].astype(jnp.bfloat16) * chan
+
     def no_chain(left, right, valid, occl_thresh=0.02):
         from mft_tpu.core.flowou import FlowOU
         return FlowOU(flow=right.flow[0] + left.flow[0],
@@ -116,6 +128,8 @@ def main():
     variants_all = {
         "full": {},
         "nolookup": {"lookup": no_lookup},
+        "nolookup2": {"lookup": no_lookup2},
+        "cheapw": {"fakew": True},   # same dots+DMA, no tent-weight build
         "nochain": {"chain": no_chain},
         "noupsample": {"ups": no_ups},
         "noou": {"oublock": no_ou},
@@ -134,12 +148,22 @@ def main():
     frames = [rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
               for _ in range(n_frames)]
     to_dev = lambda f: jnp.asarray(np.ascontiguousarray(f[:, :, ::-1]))
+    staged = bool(int(os.environ.get("ATTRIB_STAGED", "0")))
+    if staged:
+        # pre-upload every frame: isolates the host->device frame feed from
+        # the device compute + dispatch cost
+        frames = [to_dev(f) for f in frames]
+        jax.block_until_ready(frames[-1])
+        to_dev = lambda f: f
+
+    import mft_tpu.ops.corr_lookup_pallas as clp
 
     trackers = {}
     for name in names:
         base = name[:-1] if name.endswith("6") else name
         iters = 6 if name.endswith("6") else 12
         patch = variants_all[base]
+        clp._DIAG_FAKE_WEIGHTS = patch.get("fakew", False)
         raftmod.corr_lookup = patch.get("lookup", orig["lookup"])
         fusedmod.chain_select = patch.get("chain", orig["chain"])
         raftmod.convex_upsample_multi = patch.get("ups", orig["ups_raft"])
@@ -155,6 +179,7 @@ def main():
         np.asarray(meta.result.occlusion[:1, :1])
         trackers[name] = tr
         print("warmed", name, flush=True)
+    clp._DIAG_FAKE_WEIGHTS = False
     raftmod.corr_lookup = orig["lookup"]
     fusedmod.chain_select = orig["chain"]
     raftmod.convex_upsample_multi = orig["ups_raft"]

@@ -88,12 +88,19 @@ def patch_torch_cpu():
 
 # --------------------------------------------------------------------------- #
 def make_textured_pickle(path, rng, T=6, H=128, W=128, n_tracks=8,
-                         shift=(3.0, 2.0)):
+                         shift=(3.0, 2.0), occluded_gt=False):
     """DAVIS-format pickle: textured global translation + matching GT tracks.
 
     The texture gives the real RAFT something to latch onto; GT points ride
     the same global shift. GT exactness is secondary — the parity being
     tested is reference-pipeline vs our-pipeline on identical predictions.
+
+    ``occluded_gt=True`` marks every odd track occluded for a staggered
+    middle window — so the evaluator's jaccard TP/FP/FN accounting and the
+    occlusion-accuracy path see genuinely mixed GT visibility (reference
+    tapvid_eval_stuff.py:160-237) instead of the all-visible degenerate
+    case. All tracks stay visible at t=0 and at the stride-5 query frames'
+    first-visible fallback, so query extraction is unaffected.
     """
     import cv2
 
@@ -104,22 +111,75 @@ def make_textured_pickle(path, rng, T=6, H=128, W=128, n_tracks=8,
         x, y = 4 + int(shift[0]) * t, 6 + int(shift[1]) * t
         video[t] = big[y:y + H, x:x + W]
 
-    base = np.stack([rng.integers(8, int(0.6 * W), (n_tracks,)) / W,
-                     rng.integers(8, int(0.6 * H), (n_tracks,)) / H],
+    base = np.stack([rng.integers(8, int(0.85 * W), (n_tracks,)) / W,
+                     rng.integers(8, int(0.85 * H), (n_tracks,)) / H],
                     axis=-1)[:, None, :]
     steps = np.arange(T).reshape(1, T, 1)
     motion = steps * np.array([-shift[0] / W, -shift[1] / H]).reshape(1, 1, 2)
     points = np.clip(base + motion, 0.0, 0.95)
+    occluded = np.zeros((n_tracks, T), bool)
+    if occluded_gt and T >= 4:
+        for j in range(1, n_tracks, 2):
+            start = 1 + (j // 2) % max(1, T - 3)
+            occluded[j, start:start + 2] = True
     data = {"seq0": {"video": video,
                      "points": points.astype(np.float64),
-                     "occluded": np.zeros((n_tracks, T), bool)}}
+                     "occluded": occluded}}
     with open(path, "wb") as f:
         pickle.dump(data, f)
     return path
 
 
-def make_shared_weights(path, seed=0, iters=4):
-    """Random-init torch RAFT-OU weights, saved DataParallel-style."""
+def perturb_to_trained_like(model, rng):
+    """Give a fresh torch RAFT-OU model trained-checkpoint-like statistics.
+
+    Fresh torch init leaves every norm at weight=1 / bias=0 and BatchNorm
+    running stats at mean=0 / var=1 — exactly the values where a converter
+    that ignored or mis-mapped those fields would still pass random-init
+    parity tests. Real trained checkpoints (the reference ships a 50k-step
+    .pth, configs/flow/RAFTou_kubric_huber_split_nonoccl.py:25) have none of
+    that, so this simulates them: non-trivial norm affine params, shifted
+    running means, log-normal running variances, rescaled conv weights.
+    """
+    import torch
+
+    with torch.no_grad():
+        for _, p in model.named_parameters():
+            if p.ndim <= 1:  # norm scales/biases + conv biases
+                p.add_(torch.from_numpy(
+                    rng.normal(0.0, 0.3, p.shape).astype(np.float32)))
+            else:  # conv kernels: vary per-tensor magnitude like training
+                p.mul_(float(np.exp(rng.normal(0.0, 0.2))))
+        for name, b in model.named_buffers():
+            if name.endswith("running_mean"):
+                b.copy_(torch.from_numpy(
+                    rng.normal(0.0, 1.5, b.shape).astype(np.float32)))
+            elif name.endswith("running_var"):
+                b.copy_(torch.from_numpy(
+                    np.exp(rng.normal(0.0, 1.0, b.shape)).astype(np.float32)))
+
+
+def make_shared_weights(path, seed=0, iters=4, occl_gain=1.0,
+                        calib_frames=None, visible_frac=0.85,
+                        trained_like=False):
+    """Random-init torch RAFT-OU weights, saved DataParallel-style.
+
+    ``occl_gain`` scales the occlusion head's final conv (weight and bias).
+    Plain random init yields occlusion logits clustered so tightly that
+    softmax(occlusion)[1] sits on one side of the evaluator's 0.5
+    binarization for every pixel — pinning AJ and OA at degenerate values
+    where the comparison cannot detect divergence. Scaling the last conv
+    widens the logit spread; ``calib_frames`` (two HxWx3 uint8 RGB frames,
+    e.g. from the synthetic pickle) then centers the logits with a single
+    torch forward so ~``visible_frac`` of pixels predict VISIBLE per pair —
+    without centering all probabilities land on one side of 0.5 and the
+    jaccard true-positive path stays untested. The tracker's max-chaining
+    pushes chained occlusion up, so a visible-leaning per-pair fraction
+    yields mixed chained visibility. Both pipelines share the SAME adjusted
+    weights, so this changes what is predicted, never what is compared
+    (reference protocol: eval_MFT_tapvid.py:107, tapvid_eval_stuff.py:
+    160-237).
+    """
     import torch
     sys.path.insert(0, REF) if REF not in sys.path else None
     from MFT.RAFT.core.raft import RAFT as TorchRAFT
@@ -136,8 +196,28 @@ def make_shared_weights(path, seed=0, iters=4):
                  mixed_precision=False)
     model = TorchRAFT(args)
     model.eval()
-    torch.save({f"module.{k}": v for k, v in model.state_dict().items()},
-               str(path))
+    if trained_like:
+        perturb_to_trained_like(model, np.random.default_rng(seed + 17))
+    state = model.state_dict()
+    if occl_gain != 1.0:
+        for key in ("occlusion_block.occl_head.conv2.weight",
+                    "occlusion_block.occl_head.conv2.bias"):
+            state[key] = state[key] * occl_gain
+        if calib_frames is not None:
+            model.load_state_dict(state)
+            f1, f2 = calib_frames
+            to_t = lambda f: torch.from_numpy(
+                np.transpose(f.astype(np.float32), (2, 0, 1)))[None]
+            with torch.no_grad():
+                out = model(to_t(f1), to_t(f2), iters=max(2, iters // 2),
+                            test_mode=True)
+            # occl prob = softmax(logits)[1]; visible iff l1 - l0 < 0
+            d = (out["occlusion"][0, 1] - out["occlusion"][0, 0]).numpy()
+            shift = float(np.quantile(d, visible_frac))
+            state["occlusion_block.occl_head.conv2.bias"] = (
+                state["occlusion_block.occl_head.conv2.bias"]
+                - torch.tensor([0.0, shift]))
+    torch.save({f"module.{k}": v for k, v in state.items()}, str(path))
     return path
 
 
@@ -334,30 +414,49 @@ def compare(ref, ours):
 
 
 def run_parity(workdir, T=6, H=128, W=128, n_tracks=8, finite_deltas=(1, 2),
-               iters=4, scaling=None, seed=0):
+               iters=4, scaling=None, seed=0, occl_gain=1.0,
+               occluded_gt=False, trained_like=False):
     workdir = Path(workdir)
     workdir.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
     scaling = scaling or f"{W}x{H}"
     pkl = make_textured_pickle(workdir / "synth.pkl", rng, T=T, H=H, W=W,
-                               n_tracks=n_tracks)
-    ckpt = make_shared_weights(workdir / "weights.pth", seed=seed)
+                               n_tracks=n_tracks, occluded_gt=occluded_gt)
+    calib = None
+    if occl_gain != 1.0:
+        with open(pkl, "rb") as f:
+            video = pickle.load(f)["seq0"]["video"]
+        calib = (video[0], video[min(2, T - 1)])
+    ckpt = make_shared_weights(workdir / "weights.pth", seed=seed,
+                               occl_gain=occl_gain, calib_frames=calib,
+                               trained_like=trained_like)
     ref = run_reference_pipeline(workdir / "ref", pkl, ckpt, finite_deltas,
                                  iters, scaling)
     ours = run_our_pipeline(workdir / "ours", pkl, ckpt, finite_deltas,
                             iters, scaling)
-    return compare(ref, ours)
+    report, worst = compare(ref, ours)
+    return report, worst, ref, ours
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/tapvid_parity")
     ap.add_argument("--out", default=None, help="write markdown report here")
-    ap.add_argument("--frames", type=int, default=6)
+    ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--size", type=int, nargs=2, default=[128, 128])
+    ap.add_argument("--deltas", type=int, nargs="*",
+                    default=[1, 2, 4, 8, 16, 32],
+                    help="finite deltas (inf is always included)")
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--occl-gain", type=float, default=8.0,
+                    help="occlusion-head logit gain (see make_shared_weights)")
     args = ap.parse_args()
-    report, worst = run_parity(args.workdir, T=args.frames,
-                               H=args.size[0], W=args.size[1])
+    report, worst, _, _ = run_parity(args.workdir, T=args.frames,
+                                     H=args.size[0], W=args.size[1],
+                                     finite_deltas=tuple(args.deltas),
+                                     iters=args.iters,
+                                     occl_gain=args.occl_gain,
+                                     occluded_gt=True)
     print(report)
     print(f"\nmax |diff| over headline metrics: {worst:.2f} (x100 scale)")
     if args.out:
@@ -366,7 +465,11 @@ def main():
             "Both full pipelines (runner -> evaluator) on the same synthetic\n"
             "TAP-Vid-DAVIS pickle with shared random-init RAFT-OU weights\n"
             "(see tools/tapvid_parity.py; regression-tested by\n"
-            "tests/test_tapvid_metric_parity.py).\n\n")
+            "tests/test_tapvid_metric_parity.py). GT occlusion spans and an\n"
+            "occlusion-head logit gain keep predicted visibility VARIED, so\n"
+            "AJ / OA / jaccard TP-FP-FN and the 0.5 binarization are compared\n"
+            f"at non-degenerate values. Full delta set [inf]+{args.deltas},\n"
+            f"{args.frames} frames, {args.iters} RAFT iterations.\n\n")
         Path(args.out).write_text(header + report +
                                   f"\n\nmax |diff|: {worst:.2f} (x100)\n")
 

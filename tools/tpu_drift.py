@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""End-to-end TPU-production-path drift vs the exact path.
+
+The production tracker step runs bf16 compute, the Pallas tent-matmul corr
+lookup and the Pallas chain+select (1/256-px snapped sample positions, bf16
+occl/sigma maps). All parity tests pin the exact jnp path on CPU; this tool
+measures what the PRODUCTION path accumulates over a long chained sequence
+against the exact path (f32 compute, XLA mxu lookup, chain_select_ref) with
+IDENTICAL weights on the same device — closing the "bf16 quantization only
+matters at exact selection ties" caveat (tracker/fused.py) with a measured
+bound instead of an assumption.
+
+Reports per-frame flow end-point-error between the two paths, occlusion
+binarization flips (eval threshold 0.5, reference eval_MFT_tapvid.py:107)
+and selection-threshold flips (0.02, configs/MFT_cfg.py:16), tracked over
+time (drift = does the gap GROW with chain length?).
+
+Usage: PYTHONPATH=/root/repo python tools/tpu_drift.py [T] [SIZE]
+Exit code 1 if the drift bound is exceeded. Results recorded in
+docs/PERFORMANCE.md ("TPU-path drift").
+"""
+
+import json
+import sys
+
+import numpy as np
+
+
+def make_tracker(exact: bool):
+    from mft_tpu.config import Config
+    from mft_tpu.models.raft import RAFTFlow
+    from mft_tpu.tracker import MFT
+
+    flow_cfg = Config()
+    flow_cfg.of_class = RAFTFlow
+    if exact:
+        flow_cfg.raft_params = {
+            "occlusion_module": "separate_with_uncertainty",
+            "compute_dtype": "float32", "corr_method": "mxu",
+            "conv_backend": "conv"}
+    else:
+        flow_cfg.raft_params = {
+            "occlusion_module": "separate_with_uncertainty",
+            "compute_dtype": "bfloat16"}
+    flow_cfg.model = None
+    flow_cfg.flow_iters = 12
+    cfg = Config()
+    cfg.flow_config = flow_cfg
+    cfg.deltas = [np.inf, 1, 2, 4, 8, 16, 32]
+    cfg.occlusion_threshold = 0.02
+    if exact:
+        cfg.exact_chain = True
+    return MFT(cfg)
+
+
+def make_frames(T, H, W, seed=0):
+    """Smooth global translation over a blurred random texture (the same
+    clip family as the e2e parity tests, long enough for 100+ chain steps)."""
+    import cv2
+    rng = np.random.default_rng(seed)
+    mx = 2 * (T + 1)
+    big = rng.integers(0, 255, (H + mx, W + mx, 3)).astype(np.uint8)
+    big = cv2.GaussianBlur(big, (7, 7), 2)
+    frames = []
+    for t in range(T):
+        x, y = 2 * t, t
+        frames.append(np.ascontiguousarray(big[y:y + H, x:x + W]))
+    return frames
+
+
+def main():
+    T = int(sys.argv[1]) if len(sys.argv) > 1 else 110
+    H = W = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    prod = make_tracker(exact=False)
+    ref = make_tracker(exact=True)
+    # identical weights: copy the production model's variables
+    ref.flower.variables = jax.tree.map(
+        lambda x: x.astype(np.float32) if hasattr(x, "astype") else x,
+        prod.flower.variables)
+
+    frames = make_frames(T, H, W)
+    prod.init(frames[0])
+    ref.init(frames[0])
+
+    rows = []
+    for t, frame in enumerate(frames[1:], start=1):
+        mp = prod.track(frame)
+        mr = ref.track(frame)
+        pf = np.asarray(mp.result.flow, np.float32)
+        rf = np.asarray(mr.result.flow, np.float32)
+        po = np.asarray(mp.result.occlusion, np.float32)
+        ro = np.asarray(mr.result.occlusion, np.float32)
+        ps = np.asarray(mp.result.sigma, np.float32)
+        rs = np.asarray(mr.result.sigma, np.float32)
+        # compare only pixels BOTH paths consider visible-track-worthy at
+        # the eval binarization; occluded pixels carry stale/invalid flow by
+        # construction (reference keeps last-valid flow there too)
+        vis = (po < 0.5) & (ro < 0.5)
+        epe = np.hypot(pf[..., 0] - rf[..., 0], pf[..., 1] - rf[..., 1])
+        epe_v = epe[vis] if vis.any() else epe.ravel()
+        rows.append({
+            "t": t,
+            "epe_vis_mean": float(epe_v.mean()),
+            "epe_vis_p99": float(np.quantile(epe_v, 0.99)),
+            "vis_frac_prod": float((po < 0.5).mean()),
+            "occl_eval_flip": float(((po < 0.5) != (ro < 0.5)).mean()),
+            "occl_sel_flip": float(((po > 0.02) != (ro > 0.02)).mean()),
+            "sigma_relerr_p99": float(np.quantile(
+                np.abs(ps - rs) / (np.abs(rs) + 1e-3), 0.99)),
+        })
+        if t % 10 == 0:
+            print(f"frame {t}: epe_vis_mean={rows[-1]['epe_vis_mean']:.4f} "
+                  f"p99={rows[-1]['epe_vis_p99']:.3f} "
+                  f"occl_eval_flip={rows[-1]['occl_eval_flip']:.4f}",
+                  flush=True)
+
+    def seg(a, b):
+        sel = rows[a:b]
+        return {k: round(float(np.mean([r[k] for r in sel])), 5)
+                for k in sel[0] if k != "t"}
+
+    n = len(rows)
+    summary = {
+        "frames": n, "size": H,
+        "early(1-10)": seg(0, 10),
+        "mid": seg(n // 2 - 5, n // 2 + 5),
+        "late(last 10)": seg(n - 10, n),
+        "worst_epe_vis_p99": round(max(r["epe_vis_p99"] for r in rows), 4),
+        "worst_occl_eval_flip": round(
+            max(r["occl_eval_flip"] for r in rows), 5),
+    }
+    print(json.dumps(summary, indent=1))
+
+    # drift bound: visible-pixel flow within a tenth of a pixel (p99) of the
+    # exact path, and <2% of pixels flipping the eval binarization
+    ok = (summary["worst_epe_vis_p99"] < 0.1
+          and summary["worst_occl_eval_flip"] < 0.02)
+    print("DRIFT BOUND:", "OK" if ok else "EXCEEDED")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
