@@ -77,6 +77,43 @@ def main():
             jnp.bfloat16, (1, 1, 1, 4 * n * n), 3) * 0.01
         return coords[..., :1].astype(jnp.bfloat16) * chan
 
+    def noop_pallas_lookup(pyramid, coords, radius=4, method="auto",
+                           out_dtype=None, tile_p=0):
+        # a MINIMAL pallas call in the GRU loop: reads only coords, no
+        # volume blocks, trivial compute. Separates the volume-read DMA
+        # from the pallas-call-boundary cost (lost XLA fusion/overlap):
+        # if this variant is as slow as the real lookup, the boundary is
+        # the cost; if it matches nolookup2, the DMA is.
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        from mft_tpu.ops.corr_lookup_pallas import _tile_p
+        B, H, W, _ = coords.shape
+        P = H * W
+        n = 2 * radius + 1
+        tp = _tile_p(P, 512)
+        c = coords.reshape(B, P, 2)
+
+        def kernel(c_ref, o_ref):
+            cc = c_ref[0]
+            o_ref[0] = ((cc[:, :1] * 0.01).astype(jnp.bfloat16)
+                        * jax.lax.broadcasted_iota(
+                            jnp.int32, (tp, 4 * n * n), 1
+                        ).astype(jnp.bfloat16))
+
+        out = pl.pallas_call(
+            kernel, grid=(B, P // tp),
+            in_specs=[pl.BlockSpec((1, tp, 2), lambda b, p: (b, p, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, tp, 4 * n * n),
+                                   lambda b, p: (b, p, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, P, 4 * n * n), jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(c.astype(jnp.float32))
+        return out.reshape(B, H, W, 4 * n * n)
+
     def no_chain(left, right, valid, occl_thresh=0.02):
         from mft_tpu.core.flowou import FlowOU
         return FlowOU(flow=right.flow[0] + left.flow[0],
@@ -129,6 +166,7 @@ def main():
         "full": {},
         "nolookup": {"lookup": no_lookup},
         "nolookup2": {"lookup": no_lookup2},
+        "nooppl": {"lookup": noop_pallas_lookup},
         "cheapw": {"fakew": True},   # same dots+DMA, no tent-weight build
         "nochain": {"chain": no_chain},
         "noupsample": {"ups": no_ups},
