@@ -80,6 +80,64 @@ def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
     return pyramid
 
 
+def build_corr_pyramid_mixed(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
+                             num_levels: int = 4,
+                             normalized_features: bool = False,
+                             dtype=jnp.float32, max_fold: int = None):
+    """All-pairs pyramid with the big levels in the folded DENSE layout.
+
+    The per-iteration Pallas lookup is read-DMA-bound on the padded
+    (B, P, h, w) blocks (HBM lane-pads every w<128 row to 128 — ~880 MB per
+    lookup at 512x512 vs 313 logical). A level whose rows pack evenly into
+    128 lanes is kept as (B, P, h/fold, 128) with lane = u*w + x — and
+    because the einsum's flat (B, P, h*w) output is already minor-dim dense,
+    this is a FREE reshape (no relayout), unlike folding the padded array.
+    Levels with fold > ``max_fold`` (tiny maps; degenerate per-parity dots)
+    stay padded.
+
+    returns: ("mixed", folded, fdims, padded) for corr_lookup —
+      folded: leading levels as (B, P, h/fold, 128); fdims their (h, w);
+      padded: the remaining levels as (B, P, h, w).
+    """
+    B, H, W, C = fmap1.shape
+    f1 = fmap1.reshape(B, H * W, C).astype(dtype)
+    f2 = fmap2.astype(dtype)
+    if normalized_features:
+        f1 = f1 / jnp.linalg.norm(f1.astype(jnp.float32), axis=-1,
+                                  keepdims=True).astype(dtype)
+        f2 = f2 / jnp.linalg.norm(f2.astype(jnp.float32), axis=-1,
+                                  keepdims=True).astype(dtype)
+    scale = 1.0 / jnp.sqrt(jnp.float32(C))
+    if max_fold is None:
+        max_fold = 4
+    folded, fdims, padded = [], [], []
+    h, w = H, W
+    for lvl in range(num_levels):
+        if lvl > 0:
+            f2 = avg_pool2x2_nhwc(f2)
+            h, w = f2.shape[1], f2.shape[2]
+        corr_l = jnp.einsum("bpc,bqc->bpq", f1, f2.reshape(B, h * w, C),
+                            preferred_element_type=jnp.float32)
+        corr_l = (corr_l * scale).astype(dtype)
+        fold = 128 // w if w and 128 % w == 0 else 0
+        if (not padded and h * w > 128 and fold and h % fold == 0
+                and fold <= max_fold):
+            folded.append(corr_l.reshape(B, H * W, h // fold, 128))
+            fdims.append((h, w))
+        else:
+            padded.append(corr_l.reshape(B, H * W, h, w))
+    return ("mixed", folded, tuple(fdims), padded)
+
+
+def _unfold_levels(folded, fdims):
+    """Folded (B, P, h/fold, 128) levels -> plain (B, P, h, w) (free on CPU)."""
+    out = []
+    for arr, (h, w) in zip(folded, fdims):
+        B, P = arr.shape[:2]
+        out.append(arr.reshape(B, P, h, w))
+    return out
+
+
 def quantize_pyramid(pyramid):
     """Quantize a correlation pyramid to int8 with per-(pair, level) scales.
 
@@ -249,6 +307,25 @@ def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4,
     """
     B, H, W, _ = coords.shape
     c = coords.reshape(B, H * W, 2)
+    if isinstance(pyramid, tuple) and pyramid[0] == "mixed":
+        # folded-dense big levels + padded small levels: the read-DMA-bound
+        # lookup reads ~2x fewer HBM bytes with pixel-major-cheap compute
+        # (ops/corr_lookup_pallas.py _kernel_mixed). CPU/tiny shapes unfold
+        # (a free reshape) and use the exact mxu path.
+        _, folded, fdims, padded = pyramid
+        if out_dtype is None:
+            out_dtype = (list(folded) + list(padded))[0].dtype
+        from mft_tpu.ops.corr_lookup_pallas import (corr_lookup_pallas_mixed,
+                                                    _tile_p)
+        cap = tile_p or 512
+        if (folded and jax.default_backend() == "tpu"
+                and _tile_p(H * W, cap) >= 8):
+            out = corr_lookup_pallas_mixed(folded, fdims, padded, c, radius,
+                                           tile_p=cap)
+        else:
+            out = _mxu_all_levels(_unfold_levels(folded, fdims) + list(padded),
+                                  c, radius, out_dtype)
+        return out.reshape(B, H, W, -1).astype(out_dtype)
     if isinstance(pyramid, tuple) and pyramid[0] == "packed":
         # lane-packed all-levels-in-one-map volume: the lookup contracts
         # every level with 2 batched dots per pixel tile instead of 2 per

@@ -43,9 +43,9 @@ class RAFTParams:
     corr_levels: int = 4
     corr_radius: int = 4
     normalized_features: bool = False
-    corr_method: str = "auto"  # 'auto'|'pallas'|'mxu'|'gather'|'alt'|'win'|'pallas_t'|'fold'|'int8'|'packed'|'packed_i8'
+    corr_method: str = "auto"  # 'auto'|'pallas'|'mixed'|'mxu'|'gather'|'alt'|'win'|'pallas_t'|'fold'|'int8'|'packed'|'packed_i8'
     compute_dtype: str = "float32"  # 'bfloat16' for mixed-precision inference
-    conv_backend: str = "auto"  # 'auto'|'conv'|'matmul' (update.py conv_apply)
+    conv_backend: str = "auto"  # 'auto'|'conv'|'matmul'|'im2col' (update.py conv_apply)
     corr_tile: int = 0  # pixel-tile override for the pallas lookup (0 = auto)
     relu_uncertainty: bool = False
     ou_last_iter_only: bool = False
@@ -77,14 +77,18 @@ class RAFTParams:
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
     @property
-    def use_matmul_convs(self) -> bool:
-        """Update-block convs as shifted MXU matmuls (update.py conv_apply).
+    def use_matmul_convs(self):
+        """Update-block conv lowering (update.py conv_apply).
 
-        'auto' enables it on TPU only: ~20% faster there (A/B-measured),
-        pointless relayout churn on CPU. Accumulation-order-level numerics
-        difference vs the conv lowering (both are valid float evaluations)."""
+        'auto' picks the shifted-matmul path on TPU only: ~20% faster there
+        (A/B-measured), pointless relayout churn on CPU. 'im2col' contracts
+        all kh*kw shifted views in ONE GEMM (no f32 partial-map HBM
+        roundtrips). Accumulation-order-level numerics difference vs the
+        conv lowering (all are valid float evaluations)."""
         if self.conv_backend == "auto":
             return jax.default_backend() == "tpu"
+        if self.conv_backend == "im2col":
+            return "im2col"
         return self.conv_backend == "matmul"
 
     @property
@@ -222,12 +226,22 @@ class RAFT(nn.Module):
         H, W = H8 * 8, W8 * 8
 
         lookup_method = cfg.corr_method
-        if cfg.corr_method in ("alt", "win", "pallas_t", "fold",
+        if cfg.corr_method in ("alt", "win", "pallas_t", "fold", "mixed",
                                "int8", "packed", "packed_i8") and self.train_mode:
             # the alt/win/lane-major/folded kernels have no VJP — train with
             # the materialized pyramid and the differentiable standard lookup
             lookup_method = "auto"
-        if lookup_method == "alt":
+        if lookup_method == "mixed":
+            # NON-DEFAULT: folded-dense big levels read ~2x fewer HBM bytes
+            # but full-graph A/B measured 13.7-15.9 FPS vs 15.9-16.7 for the
+            # padded pixel-major path (the fold-sum VPU pass costs more than
+            # the DMA it saves); kept as an opt-in memory/layout variant.
+            # Unfoldable shapes degrade to an all-padded pyramid + mxu path.
+            from mft_tpu.models.raft.corr import build_corr_pyramid_mixed
+            pyramid = build_corr_pyramid_mixed(fmap1, fmap2, cfg.corr_levels,
+                                               cfg.normalized_features,
+                                               dtype=cfg.dtype)
+        elif lookup_method == "alt":
             # low-memory path (reference AlternateCorrBlock/alt_cuda_corr):
             # keep only the feature pyramid; the lookup kernel recomputes
             # the needed correlation slices in VMEM every iteration
@@ -426,7 +440,7 @@ class RAFT(nn.Module):
         cfg = self.cfg
         assert test_mode, "iteration schedules are an inference-only mode"
         if cfg.corr_method not in ("auto", "pallas", "mxu", "gather",
-                                   "packed", "packed_i8"):
+                                   "mixed", "packed", "packed_i8"):
             raise NotImplementedError(
                 "iters schedule requires a sliceable materialized pyramid; "
                 f"corr_method={cfg.corr_method!r} is not supported")
@@ -448,22 +462,32 @@ class RAFT(nn.Module):
         if flow_init is not None:
             flow_init = jnp.take(flow_init, perm, axis=0)
 
-        pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels,
-                                     cfg.normalized_features,
-                                     dtype=cfg.dtype)
-        if cfg.corr_method == "packed":
-            from mft_tpu.ops.corr_lookup_pallas import pack_corr_pyramid
-            packed, pdims = pack_corr_pyramid(pyramid)
-            pyramid = ("packed", packed, pdims)
-            slice_pyr = lambda pyr, mm: ("packed", pyr[1][:mm], pyr[2])
-        elif cfg.corr_method == "packed_i8":
-            from mft_tpu.ops.corr_lookup_pallas import pack_corr_pyramid_i8
-            packed, scales, pdims = pack_corr_pyramid_i8(pyramid)
-            pyramid = ("packed_i8", packed, scales, pdims)
-            slice_pyr = lambda pyr, mm: ("packed_i8", pyr[1][:mm],
-                                         pyr[2][:mm], pyr[3])
+        if cfg.corr_method == "mixed":
+            # same opt-in folded-dense layout as the uniform path
+            from mft_tpu.models.raft.corr import build_corr_pyramid_mixed
+            pyramid = build_corr_pyramid_mixed(fmap1, fmap2, cfg.corr_levels,
+                                               cfg.normalized_features,
+                                               dtype=cfg.dtype)
+            slice_pyr = lambda pyr, mm: ("mixed",
+                                         [a[:mm] for a in pyr[1]], pyr[2],
+                                         [a[:mm] for a in pyr[3]])
         else:
-            slice_pyr = lambda pyr, mm: [lvl[:mm] for lvl in pyr]
+            pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels,
+                                         cfg.normalized_features,
+                                         dtype=cfg.dtype)
+            if cfg.corr_method == "packed":
+                from mft_tpu.ops.corr_lookup_pallas import pack_corr_pyramid
+                packed, pdims = pack_corr_pyramid(pyramid)
+                pyramid = ("packed", packed, pdims)
+                slice_pyr = lambda pyr, mm: ("packed", pyr[1][:mm], pyr[2])
+            elif cfg.corr_method == "packed_i8":
+                from mft_tpu.ops.corr_lookup_pallas import pack_corr_pyramid_i8
+                packed, scales, pdims = pack_corr_pyramid_i8(pyramid)
+                pyramid = ("packed_i8", packed, scales, pdims)
+                slice_pyr = lambda pyr, mm: ("packed_i8", pyr[1][:mm],
+                                             pyr[2][:mm], pyr[3])
+            else:
+                slice_pyr = lambda pyr, mm: [lvl[:mm] for lvl in pyr]
         net = jnp.tanh(cnet[..., : cfg.hidden_dim])
         inp = nn.relu(cnet[..., cfg.hidden_dim:])
         coords0 = initialize_coords(B, H8, W8)

@@ -19,14 +19,21 @@ import flax.linen as nn
 from mft_tpu.models.raft.layers import _pad
 
 
-def conv_apply(x, kernel, bias, padding, dtype, matmul: bool):
-    """Apply a conv given raw (kernel, bias) — as lax conv or shifted matmuls.
+def conv_apply(x, kernel, bias, padding, dtype, matmul):
+    """Apply a conv given raw (kernel, bias) — lax conv, shifted matmuls,
+    or one im2col GEMM.
 
     matmul=True executes the k_h x k_w conv as k_h*k_w shifted
     (B,H,W,Cin) x (Cin,Cout) MXU einsums accumulated in float32 (bias added
     in f32, one final cast) — measured ~20% faster than the XLA conv
     lowering for this model's small-spatial NHWC shapes on the v5e. Same
     math; accumulation order differs from the conv at float rounding level.
+
+    matmul='im2col' concatenates the k_h*k_w shifted views on the channel
+    axis and contracts them with the (kh*kw*Cin, Cout) reshaped kernel in
+    ONE einsum: the shifted-matmul path's kh*kw f32 partial maps cannot
+    fuse across GEMMs and roundtrip HBM, while one GEMM with a kh*kw-times
+    longer contraction keeps a single accumulator in VMEM.
     """
     kh, kw = kernel.shape[:2]
     x = x.astype(dtype)
@@ -40,6 +47,14 @@ def conv_apply(x, kernel, bias, padding, dtype, matmul: bool):
     xpad = jnp.pad(x, ((0, 0), tuple(pads[0]), tuple(pads[1]), (0, 0)))
     H = xpad.shape[1] - kh + 1
     W = xpad.shape[2] - kw + 1
+    if matmul == "im2col":
+        cols = jnp.concatenate(
+            [xpad[:, ky:ky + H, kx:kx + W]
+             for ky in range(kh) for kx in range(kw)], axis=-1)
+        acc = jnp.einsum("bhwc,co->bhwo", cols,
+                         k.reshape(-1, k.shape[-1]),
+                         preferred_element_type=jnp.float32)
+        return (acc + bias.astype(jnp.float32)).astype(dtype)
     acc = None
     for ky in range(kh):
         for kx in range(kw):
@@ -61,7 +76,7 @@ class MXConv(nn.Module):
     kernel_size: tuple
     padding: object = "VALID"
     dtype: object = jnp.float32
-    matmul: bool = False
+    matmul: object = False  # False | True (shifted matmuls) | "im2col"
 
     @nn.compact
     def __call__(self, x):
@@ -79,7 +94,7 @@ class FlowHead(nn.Module):
     hidden_dim: int = 256
     out_dim: int = 2
     dtype: object = jnp.float32
-    matmul: bool = False
+    matmul: object = False  # False | True (shifted matmuls) | "im2col"
 
     @nn.compact
     def __call__(self, x):
@@ -125,7 +140,7 @@ class BasicMotionEncoder(nn.Module):
     """Encode (corr window sample, flow) into 128-ch motion features."""
     corr_channels: int = 324  # 4 levels * 9^2
     dtype: object = jnp.float32
-    matmul: bool = False
+    matmul: object = False  # False | True (shifted matmuls) | "im2col"
 
     @nn.compact
     def __call__(self, flow, corr):
@@ -159,7 +174,7 @@ class SepConvGRU(nn.Module):
     """
     hidden_dim: int = 128
     dtype: object = jnp.float32
-    matmul: bool = False
+    matmul: object = False  # False | True (shifted matmuls) | "im2col"
 
     @nn.compact
     def __call__(self, h, x):
@@ -212,7 +227,7 @@ class BasicUpdateBlock(nn.Module):
     """One RAFT refinement step: motion enc -> GRU -> flow delta + up-mask."""
     hidden_dim: int = 128
     dtype: object = jnp.float32
-    matmul: bool = False
+    matmul: object = False  # False | True (shifted matmuls) | "im2col"
 
     @nn.compact
     def __call__(self, net, inp, corr, flow, need_mask: bool = True,

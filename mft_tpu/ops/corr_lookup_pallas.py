@@ -772,6 +772,156 @@ def corr_lookup_pallas_packed_i8(packed_i8, scales, dims, coords,
 # Padding the volume to 128 lanes would double the DMA bytes and erase the
 # win. Revisit if the volume layout ever packs two rows per 128 lanes.
 
+
+# --------------------------------------------------------------------------- #
+# layout M: big levels folded DENSE (128 lanes = fold image rows), small
+# levels padded pixel-major — dense DMA with pixel-major-cheap compute
+# --------------------------------------------------------------------------- #
+def _kernel_mixed(coords_ref, *rest, radius: int, tile_p: int, fdims,
+                  n_folded: int):
+    """Lookup over folded big levels + padded small levels.
+
+    The production pixel-major kernel is read-DMA-bound on the PADDED
+    volume blocks (isolated probe: read-only == full kernel == 1.7 ms/call
+    at 512px; the dense folded read is 0.9 ms). Earlier folded-compute
+    schemes lost the DMA win to EXTRA MXU ops (per-fold lane-slice
+    extraction 3.4 ms/call; per-parity y/x dot pairs 2.16 ms/lookup
+    in-graph vs 1.36 for the padded kernel). This kernel keeps the padded
+    kernel's exact 2-dots-per-level structure on the dense layout:
+
+      y:  D2 = dot(Wy2, F)   — ONE interleaved dot; Wy2 row m = u*n + j
+          holds the tent of y-tap j evaluated at image rows r*fold + u,
+          so D2 contains every parity's partial as a CONTIGUOUS n-row
+          band (same MACs as the padded y-dot, all 128 lanes useful)
+      Σ:  T2 = sum_u D2[u-band] * mask_u — fold cheap VPU multiply-adds
+          with the constant lane-parity mask (lane//w == u)
+      x:  S = dot(Wx, T2) with x tents at lane positions x = lane % w;
+          no cross-group leakage is possible because group selection
+          already happened in T2, so the tents need no masking.
+
+    Same math as _kernel_pixel_major (f32 accumulation per dot; the fold
+    partial sum adds in f32 — accumulation-order-level difference only).
+
+    args layout: coords, folded levels (n_folded), padded levels, out.
+    fdims: per-FOLDED-level (h, w).
+    """
+    n = 2 * radius + 1
+    corr_refs, out_ref = rest[:-1], rest[-1]
+    c = coords_ref[0]                     # (TILE_P, 2) f32, level-0 scale
+    cx = c[:, 0][:, None, None]           # (TILE_P, 1, 1)
+    cy = c[:, 1][:, None, None]
+
+    for lvl, ref in enumerate(corr_refs):
+        inv = 1.0 / (2.0 ** lvl)
+        base = lvl * n * n
+        dt = ref.dtype
+
+        if lvl < n_folded:
+            h, w = fdims[lvl]
+            fold = 128 // w
+            h2 = h // fold
+            F = ref[0]                                    # (tp, h2, 128)
+            nf = n * fold
+            m_i = jax.lax.broadcasted_iota(jnp.int32, (tile_p, nf, h2), 1)
+            r_i = jax.lax.broadcasted_iota(jnp.int32, (tile_p, nf, h2), 2)
+            ky = (m_i % n).astype(jnp.float32) - radius   # y tap j
+            yy = (r_i * fold + m_i // n).astype(jnp.float32)  # row parity u
+            wy2 = jnp.maximum(0.0, 1.0 - jnp.abs(cy * inv + ky - yy)
+                              ).astype(dt)                # (tp, n*fold, h2)
+            d2 = jax.lax.dot_general(
+                wy2, F,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)       # (tp, n*fold, 128)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, n, 128), 2)
+            ug = lane // w
+            t2 = None
+            for u in range(fold):
+                part = d2[:, u * n:(u + 1) * n, :] * jnp.where(ug == u,
+                                                               1.0, 0.0)
+                t2 = part if t2 is None else t2 + part    # (tp, n, 128) f32
+            kx = jax.lax.broadcasted_iota(
+                jnp.int32, (tile_p, n, 128), 1).astype(jnp.float32) - radius
+            xl = (lane % w).astype(jnp.float32)
+            wx2 = jnp.maximum(0.0, 1.0 - jnp.abs(cx * inv + kx - xl)
+                              ).astype(dt)                # (tp, n, 128)
+            s = jax.lax.dot_general(
+                wx2, t2.astype(dt),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)       # (tp, n_i, n_j)
+            for i in range(n):
+                out_ref[0, :, base + i * n: base + (i + 1) * n] = (
+                    s[:, i, :].astype(out_ref.dtype))
+            continue
+
+        # small levels: standard padded pixel-major 2-dot contraction
+        h, w = ref.shape[2], ref.shape[3]
+        kx = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_p, n, w), 1).astype(jnp.float32) - radius
+        xx = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_p, n, w), 2).astype(jnp.float32)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(cx * inv + kx - xx)).astype(dt)
+        ky = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_p, n, h), 1).astype(jnp.float32) - radius
+        yy = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_p, n, h), 2).astype(jnp.float32)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(cy * inv + ky - yy)).astype(dt)
+        t = jax.lax.dot_general(
+            wy, ref[0],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dt)
+        s = jax.lax.dot_general(
+            wx, t,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        for i in range(n):
+            out_ref[0, :, base + i * n: base + (i + 1) * n] = (
+                s[:, i, :].astype(out_ref.dtype))
+
+
+def corr_lookup_pallas_mixed(folded, fdims, padded, coords, radius: int = 4,
+                             tile_p: int = 512):
+    """Fused pyramid lookup over folded big levels + padded small levels.
+
+    args:
+      folded: list of (B, P, h_l/fold_l, 128) DENSE arrays, lane = u*w + x
+        (a free reshape of the flat (B, P, h*w) einsum output — see
+        corr.py fold_level).
+      fdims: per-folded-level (h, w).
+      padded: remaining levels as plain (B, P, h, w) arrays.
+      coords: (B, P, 2) float32 level-0 centers.
+    returns: (B, P, L*(2r+1)^2) in the volume dtype, reference ordering.
+    """
+    B, P = folded[0].shape[:2]
+    n = 2 * radius + 1
+    L = len(folded) + len(padded)
+    tp = _tile_p(P, tile_p)
+    if tp == 0:
+        raise ValueError(f"P={P} has no power-of-two tiling")
+    out_dtype = folded[0].dtype
+
+    in_specs = [pl.BlockSpec((1, tp, 2), lambda b, p: (b, p, 0),
+                             memory_space=pltpu.VMEM)]
+    for arr in list(folded) + list(padded):
+        s2, s3 = arr.shape[2], arr.shape[3]
+        in_specs.append(pl.BlockSpec(
+            (1, tp, s2, s3), lambda b, p: (b, p, 0, 0),
+            memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((1, tp, L * n * n), lambda b, p: (b, p, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel_mixed, radius=radius, tile_p=tp,
+                               fdims=tuple(fdims), n_folded=len(folded))
+    return pl.pallas_call(
+        kernel,
+        grid=(B, P // tp),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, P, L * n * n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(coords.astype(jnp.float32), *folded, *padded)
+
 # --------------------------------------------------------------------------- #
 # layout B: (B, h, w, P) pixels-on-lanes blocks, full-width VPU FMAs
 # --------------------------------------------------------------------------- #

@@ -290,3 +290,53 @@ def test_folded_corr_build_and_lookup_matches_pallas(rng):
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(want, np.float32),
             atol=2e-2, rtol=1e-2)
+
+
+def test_mixed_corr_build_and_lookup_matches_pallas(rng):
+    """The mixed folded-dense layout (build_corr_pyramid_mixed +
+    corr_lookup_pallas_mixed, corr_method='mixed'): big levels whose rows
+    pack evenly into 128 lanes are stored DENSE (lane = u*w + x), the rest
+    stay padded pixel-major. Kernel math must agree with the pixel-major
+    path on folded and padded levels alike, and the CPU fallback
+    (_unfold_levels + mxu) must be exact."""
+    from mft_tpu.models.raft.corr import (build_corr_pyramid,
+                                          build_corr_pyramid_mixed,
+                                          corr_lookup)
+    from mft_tpu.ops.corr_lookup_pallas import corr_lookup_pallas_mixed
+
+    B, H, W, C = 1, 64, 32, 64
+    f1 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    coords = jnp.asarray(rng.uniform(-2, 66, (B, H, W, 2)), jnp.float32)
+    P = H * W
+
+    for dtype in (jnp.float32, jnp.bfloat16):
+        pyr = build_corr_pyramid(f1, f2, 4, False, dtype=dtype)
+        want = corr_lookup(pyr, coords, 4, method="pallas")
+        tag, folded, fdims, padded = build_corr_pyramid_mixed(
+            f1, f2, 4, False, dtype=dtype)
+        assert tag == "mixed"
+        # level 0 (64x32) folds 4 rows into 128 lanes; levels 1+ (32x16,
+        # 16x8, 8x4) have fold > max_fold and stay padded pixel-major
+        assert [a.shape for a in folded] == [(B, P, 16, 128)]
+        assert fdims == ((64, 32),)
+        assert [a.shape[2:] for a in padded] == [(32, 16), (16, 8), (8, 4)]
+        # folded level holds the same values as the padded one, re-laid out
+        np.testing.assert_array_equal(
+            np.asarray(folded[0].reshape(B, P, 64, 32)), np.asarray(pyr[0]))
+
+        # kernel (interpret mode on CPU)
+        got = corr_lookup_pallas_mixed(folded, fdims, padded,
+                                       coords.reshape(B, P, 2), 4, tile_p=256)
+        tol = dict(atol=1e-4, rtol=1e-4) if dtype == jnp.float32 else \
+            dict(atol=2e-2, rtol=1e-2)
+        np.testing.assert_allclose(
+            np.asarray(got.reshape(B, H, W, -1), np.float32),
+            np.asarray(want, np.float32), **tol)
+
+        # dispatch-level CPU fallback (unfold + mxu) through corr_lookup
+        got2 = corr_lookup(("mixed", folded, fdims, padded), coords, 4)
+        assert got2.dtype == want.dtype
+        np.testing.assert_allclose(
+            np.asarray(got2, np.float32), np.asarray(want, np.float32),
+            atol=5e-3, rtol=5e-3)
