@@ -45,7 +45,7 @@ class RAFTParams:
     normalized_features: bool = False
     corr_method: str = "auto"  # 'auto'|'pallas'|'mixed'|'mxu'|'gather'|'alt'|'win'|'pallas_t'|'fold'|'int8'|'packed'|'packed_i8'
     compute_dtype: str = "float32"  # 'bfloat16' for mixed-precision inference
-    conv_backend: str = "auto"  # 'auto'|'conv'|'matmul'|'im2col' (update.py conv_apply)
+    conv_backend: str = "auto"  # 'auto'|'conv'|'matmul'|'im2col'|'hybrid'|'pallas' (update.py conv_apply)
     corr_tile: int = 0  # pixel-tile override for the pallas lookup (0 = auto)
     relu_uncertainty: bool = False
     ou_last_iter_only: bool = False
@@ -82,13 +82,15 @@ class RAFTParams:
 
         'auto' picks the shifted-matmul path on TPU only: ~20% faster there
         (A/B-measured), pointless relayout churn on CPU. 'im2col' contracts
-        all kh*kw shifted views in ONE GEMM (no f32 partial-map HBM
-        roundtrips). Accumulation-order-level numerics difference vs the
-        conv lowering (all are valid float evaluations)."""
+        all kh*kw shifted views in ONE GEMM (A/B: −5 FPS as a blanket
+        policy — the wide cols array costs more than it saves). 'hybrid'
+        uses im2col only for tiny-Cin convs and shifted matmuls elsewhere.
+        Accumulation-order-level numerics difference vs the conv lowering
+        (all are valid float evaluations)."""
         if self.conv_backend == "auto":
             return jax.default_backend() == "tpu"
-        if self.conv_backend == "im2col":
-            return "im2col"
+        if self.conv_backend in ("im2col", "hybrid", "pallas"):
+            return self.conv_backend
         return self.conv_backend == "matmul"
 
     @property

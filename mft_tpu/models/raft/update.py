@@ -31,13 +31,35 @@ def conv_apply(x, kernel, bias, padding, dtype, matmul):
 
     matmul='im2col' concatenates the k_h*k_w shifted views on the channel
     axis and contracts them with the (kh*kw*Cin, Cout) reshaped kernel in
-    ONE einsum: the shifted-matmul path's kh*kw f32 partial maps cannot
-    fuse across GEMMs and roundtrip HBM, while one GEMM with a kh*kw-times
-    longer contraction keeps a single accumulator in VMEM.
+    ONE einsum. A/B-measured 5 FPS SLOWER than shifted matmuls as a
+    blanket policy (materializing the kh*kw-times-wider cols array costs
+    more HBM traffic than the f32 partial-map roundtrips it avoids).
+
+    matmul='hybrid' picks im2col only for tiny-Cin convs (Cin <= 8 —
+    e.g. the 7x7 flow conv, whose shifted path is 49 GEMMs with K=2:
+    pure per-op issue overhead, while its cols array is just 98 channels)
+    and shifted matmuls everywhere else.
+
+    matmul='pallas' runs the conv as ONE fused Pallas kernel with a VMEM
+    f32 accumulator (ops/conv_pallas.py — no partial-map HBM roundtrips at
+    all); tiny-Cin convs route to im2col and non-fitting shapes to shifted
+    matmuls. Inference-only (the kernel has no VJP).
     """
     kh, kw = kernel.shape[:2]
     x = x.astype(dtype)
     k = kernel.astype(dtype)
+    if matmul == "pallas":
+        from mft_tpu.ops.conv_pallas import conv_fits_pallas, conv_pallas
+        pads = ([(0, 0), (0, 0)] if padding == "VALID"
+                else [tuple(p) for p in padding])
+        if x.shape[-1] <= 8 and kh * kw > 1:
+            matmul = "im2col"
+        elif conv_fits_pallas(x.shape, k.shape, pads):
+            return conv_pallas(x, k, bias, (tuple(pads[0]), tuple(pads[1])))
+        else:
+            matmul = True
+    if matmul == "hybrid":
+        matmul = "im2col" if x.shape[-1] <= 8 and kh * kw > 1 else True
     if not matmul:
         y = jax.lax.conv_general_dilated(
             x, k, window_strides=(1, 1), padding=padding,

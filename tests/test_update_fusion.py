@@ -166,6 +166,20 @@ def test_conv_matmul_backend_matches_conv(rng):
     y_mm = conv_apply(x, k, b, pad, jnp.float32, matmul=True)
     np.testing.assert_allclose(np.asarray(y_mm), np.asarray(y_conv),
                                rtol=1e-5, atol=1e-5)
+    # im2col: same conv as ONE GEMM over channel-concatenated shifted views
+    y_i2c = conv_apply(x, k, b, pad, jnp.float32, matmul="im2col")
+    np.testing.assert_allclose(np.asarray(y_i2c), np.asarray(y_conv),
+                               rtol=1e-5, atol=1e-5)
+    # hybrid: tiny-Cin convs route to im2col, wide ones to shifted matmuls
+    x2 = jnp.asarray(rng.standard_normal((2, 8, 12, 2)), jnp.float32)
+    k7 = jnp.asarray(rng.standard_normal((7, 7, 2, 24)), jnp.float32)
+    y7_conv = conv_apply(x2, k7, b, [(3, 3), (3, 3)], jnp.float32, False)
+    y7_hyb = conv_apply(x2, k7, b, [(3, 3), (3, 3)], jnp.float32, "hybrid")
+    np.testing.assert_allclose(np.asarray(y7_hyb), np.asarray(y7_conv),
+                               rtol=1e-5, atol=1e-5)
+    y_hyb = conv_apply(x, k, b, pad, jnp.float32, matmul="hybrid")
+    np.testing.assert_allclose(np.asarray(y_hyb), np.asarray(y_mm),
+                               rtol=0, atol=0)  # wide Cin -> exactly shifted
     # asymmetric kernels as used by the GRU
     k15 = jnp.asarray(rng.standard_normal((1, 5, 16, 8)), jnp.float32)
     b15 = jnp.asarray(rng.standard_normal((8,)), jnp.float32)
@@ -191,3 +205,36 @@ def test_conv_matmul_backend_matches_conv(rng):
             continue
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_conv_pallas_backend_matches_conv(rng):
+    """conv_apply 'pallas' (ops/conv_pallas.py fused VMEM-accumulator
+    kernel, interpret mode on CPU) == conv path for the update block's
+    kernel shapes: 3x3 SAME, GRU (1,5)/(5,1), 1x1 VALID, and the tiny-Cin
+    7x7 (which routes to im2col)."""
+    import jax.numpy as jnp
+    from mft_tpu.models.raft.update import conv_apply
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 64, 24)), jnp.float32)
+    cases = [
+        ((3, 3, 24, 32), [(1, 1), (1, 1)]),
+        ((1, 5, 24, 16), [(0, 0), (2, 2)]),
+        ((5, 1, 24, 16), [(2, 2), (0, 0)]),
+        ((1, 1, 24, 16), "VALID"),
+    ]
+    for kshape, pad in cases:
+        k = jnp.asarray(rng.standard_normal(kshape), jnp.float32)
+        b = jnp.asarray(rng.standard_normal(kshape[-1:]), jnp.float32)
+        y0 = conv_apply(x, k, b, pad, jnp.float32, matmul=False)
+        y1 = conv_apply(x, k, b, pad, jnp.float32, matmul="pallas")
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   rtol=1e-4, atol=1e-4)
+    # tiny-Cin 7x7 routes to im2col inside the pallas backend
+    x2 = jnp.asarray(rng.standard_normal((2, 16, 64, 2)), jnp.float32)
+    k7 = jnp.asarray(rng.standard_normal((7, 7, 2, 24)), jnp.float32)
+    b7 = jnp.asarray(rng.standard_normal((24,)), jnp.float32)
+    y0 = conv_apply(x2, k7, b7, [(3, 3), (3, 3)], jnp.float32, matmul=False)
+    y1 = conv_apply(x2, k7, b7, [(3, 3), (3, 3)], jnp.float32,
+                    matmul="pallas")
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-5, atol=1e-5)

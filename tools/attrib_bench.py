@@ -173,6 +173,11 @@ def main():
         "noou": {"oublock": no_ou},
         "noencode": {"wrap": wrap_no_encode},
         "noraft": {"wrap": wrap_no_raft},
+        # everything stubbed: the residual is the per-frame dispatch +
+        # ring gather/update + result fetch floor, nothing else
+        "nothing": {"wrap": lambda fl: (wrap_no_encode(fl),
+                                        wrap_no_raft(fl)) and None,
+                    "chain": no_chain, "ups": no_ups, "oublock": no_ou},
     }
     names = sys.argv[1:] or ["full", "nolookup", "full6", "nolookup6",
                              "noencode", "noraft"]
