@@ -7,6 +7,10 @@ the virtual CPU mesh; real-TPU execution is covered by bench.py / the driver.
 
 import os
 
+# remember the ambient platform before forcing CPU (TPU-marked tests spawn
+# subprocesses that restore it — see tests/test_tpu_drift.py)
+os.environ.setdefault("_AMBIENT_JAX_PLATFORMS",
+                      os.environ.get("JAX_PLATFORMS", ""))
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the ambient env may say 'axon' (TPU)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -1,0 +1,47 @@
+"""TPU-production-path drift bound, asserted on the real chip.
+
+The regular suite pins the exact jnp path on CPU; this test runs
+``tools/tpu_drift.py`` (production bf16 + Pallas path vs exact f32 + XLA
+path, identical weights) on the actual TPU and asserts its drift bound:
+single-step flow EPE mean < 0.25 px, eval-occlusion binarization flips
+< 2% at any chain length (see the tool's docstring and
+docs/PERFORMANCE.md "TPU-path drift"). Skipped when no TPU backend is
+configured in the ambient environment (the suite itself forces CPU).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.tpu]
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ambient_tpu() -> bool:
+    # the conftest forces JAX_PLATFORMS=cpu for the in-process suite; the
+    # subprocess below restores the ambient platform, so detect the TPU from
+    # the ambient env markers instead of the (overridden) jax backend
+    amb = os.environ.get("_AMBIENT_JAX_PLATFORMS", "")
+    return "axon" in amb or "tpu" in amb
+
+
+@pytest.mark.skipif(not _ambient_tpu(), reason="no TPU in ambient env")
+def test_drift_bound_on_tpu():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = env.get("_AMBIENT_JAX_PLATFORMS", "axon")
+    # drop the virtual-8-device flag the conftest injects for the CPU suite
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # short sequence at 256 px: exercises >30 chained steps within test time
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "tpu_drift.py"),
+         "40", "256"],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=2400)
+    assert proc.returncode == 0, (
+        f"drift bound exceeded:\n{proc.stdout[-3000:]}\n{proc.stderr[-2000:]}")
+    assert "DRIFT BOUND: OK" in proc.stdout

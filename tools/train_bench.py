@@ -38,7 +38,7 @@ def main():
 
     from mft_tpu.models.raft.raft import RAFT, RAFTParams
     from mft_tpu.train.loop import build_state, make_train_step
-    from mft_tpu.train.optimizer import make_optimizer
+    from mft_tpu.train.optim import make_optimizer
 
     H, W = args.image_size
     B = args.batch_size
