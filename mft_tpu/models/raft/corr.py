@@ -318,10 +318,17 @@ def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4,
         from mft_tpu.ops.corr_lookup_pallas import (corr_lookup_pallas_mixed,
                                                     _tile_p)
         cap = tile_p or 512
-        if (folded and jax.default_backend() == "tpu"
-                and _tile_p(H * W, cap) >= 8):
+        on_tpu = jax.default_backend() == "tpu" and _tile_p(H * W, cap) >= 8
+        if folded and on_tpu:
             out = corr_lookup_pallas_mixed(folded, fdims, padded, c, radius,
                                            tile_p=cap)
+        elif on_tpu:
+            # nothing folded (any level width with 128 % w != 0, e.g. the
+            # 368x768 train/eval resolution -> w=96): dispatch the all-padded
+            # pyramid to the pixel-major Pallas kernel, which handles
+            # arbitrary (h, w) — NOT the XLA mxu path (~6 GB HBM traffic per
+            # GRU iteration at 512px, see module docstring)
+            out = _corr_lookup_pallas_ad(tuple(padded), c, radius, cap, 0)
         else:
             out = _mxu_all_levels(_unfold_levels(folded, fdims) + list(padded),
                                   c, radius, out_dtype)

@@ -164,9 +164,15 @@ class RAFT(nn.Module):
             self.update_block = SmallUpdateBlock(
                 hidden_dim=self.cfg.hidden_dim, dtype=dt)
         else:
+            matmul = self.cfg.use_matmul_convs
+            if self.train_mode and matmul == "pallas":
+                # conv_pallas has no VJP — the same limitation class as the
+                # no-VJP corr methods (guarded in flow_from_features): train
+                # with the differentiable shifted-matmul lowering instead
+                matmul = True
             self.update_block = BasicUpdateBlock(
                 hidden_dim=self.cfg.hidden_dim, dtype=dt,
-                matmul=self.cfg.use_matmul_convs)
+                matmul=matmul)
         if self.cfg.occlusion_estimation:
             self.occlusion_block = OcclusionAndUncertaintyBlock(
                 architecture=self.cfg.ou_architecture, dtype=dt)

@@ -23,9 +23,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _ambient_tpu() -> bool:
     # the conftest forces JAX_PLATFORMS=cpu for the in-process suite; the
     # subprocess below restores the ambient platform, so detect the TPU from
-    # the ambient env markers instead of the (overridden) jax backend
+    # the ambient env markers instead of the (overridden) jax backend.
+    # RUN_TPU_TESTS=1 forces the test on hosts where JAX_PLATFORMS is unset
+    # (jax auto-detects the chip, so the env marker alone would miss it);
+    # as a backstop, probe for an importable libtpu the same way jax does.
+    if os.environ.get("RUN_TPU_TESTS"):
+        return True
     amb = os.environ.get("_AMBIENT_JAX_PLATFORMS", "")
-    return "axon" in amb or "tpu" in amb
+    if "axon" in amb or "tpu" in amb:
+        return True
+    if amb:
+        return False  # explicitly pinned to a non-TPU platform
+    try:
+        import libtpu  # noqa: F401  (present exactly on TPU hosts)
+        return True
+    except ImportError:
+        return False
 
 
 @pytest.mark.skipif(not _ambient_tpu(), reason="no TPU in ambient env")
