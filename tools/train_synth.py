@@ -1,0 +1,301 @@
+#!/usr/bin/env python
+"""Train RAFT-OU from scratch on self-generated synthetic scenes.
+
+Purpose: derive TRAINED-LIKE weights for the accuracy artifacts (TPU-path
+drift bound, speed-mode cost, TAP-Vid parity) without the reference's
+external training blobs — neither Sintel/FT3D/Kubric nor the reference's
+.pth checkpoint are distributed (/root/reference/.MISSING_LARGE_BLOBS).
+
+Recipe: the reference's two-stage pipeline (RAFT flow training, then the
+OU-finetune of train_params.txt) collapsed into one joint stage — flow L1 +
+occlusion CE + heteroscedastic-Huber uncertainty (losses as in
+mft_tpu/train/losses.py, reference MFT/RAFT/train.py:44-245), trained on
+mft_tpu.train.synth scenes whose flow/occlusion GT is analytic. The
+uncertainty and occlusion losses don't backprop into the flow branch
+magnitudes (EPE targets are stop-gradiented), so joint training is the
+frozen-flow recipe plus a live flow stage.
+
+Host side (ONE cpu in this container): scenes are pre-rendered to disk by
+tools/gen_synth_data.py; this trainer keeps them in RAM and applies cheap
+crop/flip/photometric augmentation per batch (the FlyingChairs fixed-set +
+heavy-aug regime). The TPU sees one donated jitted step per batch.
+
+Checkpoints: orbax full-state every --save_every steps (resumable via
+--resume), plus an atomic msgpack weights export the inference configs can
+point at. SIGTERM saves and exits cleanly, so the run can be paused while
+the chip is needed for interactive A/B benches and resumed after.
+
+Usage:
+    PYTHONPATH=/root/repo python tools/train_synth.py \
+        --steps 30000 --batch 8 --size 256 320 --out checkpoints/synth_run
+"""
+
+import argparse
+import json
+import logging
+import os
+import signal
+import sys
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger("train_synth")
+
+
+# --------------------------------------------------------------------- #
+# host-side data: cached shards + cheap augmentation
+# --------------------------------------------------------------------- #
+class CachedSynthData:
+    """RAM-resident shard cache (tools/gen_synth_data.py output).
+
+    Sampling = pick scene, pick delta t (1/sqrt(t)-weighted, the MFT-chain
+    distribution), random crop to the train size, random h-flip, per-image
+    photometric jitter. A background thread rescans the shard directory so
+    a concurrently running generator keeps enlarging the epoch.
+    """
+
+    def __init__(self, data_dir, crop_hw, batch_size, seed=7,
+                 rescan_every=120.0):
+        self.dir = Path(data_dir)
+        self.ch, self.cw = crop_hw
+        self.B = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.scenes = []
+        self._seen = set()
+        self._lock = threading.Lock()
+        self._scan()
+        if not self.scenes:
+            raise FileNotFoundError(
+                f"no shards in {self.dir}; run tools/gen_synth_data.py first")
+        self._stop = threading.Event()
+        self._rescan_every = rescan_every
+        self._th = threading.Thread(target=self._rescan_loop, daemon=True)
+        self._th.start()
+
+    def _scan(self):
+        new = 0
+        for p in sorted(self.dir.glob("shard_*.npz")):
+            if p.name in self._seen:
+                continue
+            try:
+                with np.load(p) as z:
+                    scene = {k: z[k] for k in ("img0", "imgs", "flows",
+                                               "occls")}
+            except Exception:
+                continue  # partially written / corrupt shard
+            with self._lock:
+                self.scenes.append(scene)
+            self._seen.add(p.name)
+            new += 1
+        return new
+
+    def _rescan_loop(self):
+        while not self._stop.wait(self._rescan_every):
+            n = self._scan()
+            if n:
+                logger.info("dataset rescan: +%d shards (total %d scenes)",
+                            n, len(self.scenes))
+
+    def next_batch(self):
+        rng = self.rng
+        with self._lock:
+            n_scenes = len(self.scenes)
+        img1 = np.empty((self.B, self.ch, self.cw, 3), np.float32)
+        img2 = np.empty((self.B, self.ch, self.cw, 3), np.float32)
+        flow = np.empty((self.B, self.ch, self.cw, 2), np.float32)
+        occl = np.empty((self.B, self.ch, self.cw), np.float32)
+        for i in range(self.B):
+            sc = self.scenes[int(rng.integers(n_scenes))]
+            T1 = sc["imgs"].shape[0]
+            w = 1.0 / np.sqrt(np.arange(1, T1 + 1))
+            t = int(rng.choice(T1, p=w / w.sum()))
+            H, W = sc["img0"].shape[:2]
+            y0 = int(rng.integers(0, H - self.ch + 1))
+            x0 = int(rng.integers(0, W - self.cw + 1))
+            sl = np.s_[y0:y0 + self.ch, x0:x0 + self.cw]
+            a = sc["img0"][sl].astype(np.float32)
+            b = sc["imgs"][t][sl].astype(np.float32)
+            f = sc["flows"][t][sl].astype(np.float32)
+            o = sc["occls"][t][sl].astype(np.float32)
+            if rng.random() < 0.5:  # h-flip
+                a, b = a[:, ::-1], b[:, ::-1]
+                f = f[:, ::-1] * np.array([-1.0, 1.0], np.float32)
+                o = o[:, ::-1]
+            # photometric: shared gain/bias + small per-channel gain
+            gain = rng.uniform(0.7, 1.3)
+            bias = rng.uniform(-25, 25)
+            cgain = rng.uniform(0.92, 1.08, size=(3,)).astype(np.float32)
+            for dst, src in ((img1, a), (img2, b)):
+                dst[i] = np.clip(src * (gain * cgain) + bias, 0, 255)
+            flow[i], occl[i] = f, o
+        valid = np.ones((self.B, self.ch, self.cw), np.float32)
+        return img1, img2, flow, valid, occl
+
+    def close(self):
+        self._stop.set()
+
+
+def fixed_val_batch(H, W, n=8, seed=99):
+    """Deterministic held-out batch (one pair per scene, varied deltas)."""
+    from mft_tpu.train.synth import sample_pair
+    rng = np.random.default_rng(seed)
+    items = [sample_pair(rng, H, W) for _ in range(n)]
+    return tuple(np.stack([i[k] for i in items]).astype(np.float32)
+                 for k in range(5))
+
+
+# --------------------------------------------------------------------- #
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=30000)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--size", type=int, nargs=2, default=[256, 320])
+    ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--wdecay", type=float, default=1e-5)
+    ap.add_argument("--gamma", type=float, default=0.85)
+    ap.add_argument("--data", default="data_synth")
+    ap.add_argument("--save_every", type=int, default=1000)
+    ap.add_argument("--log_every", type=int, default=50)
+    ap.add_argument("--out", default="checkpoints/synth_run")
+    ap.add_argument("--export", default="checkpoints/raftou_kubric_synth.msgpack")
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname).1s %(name)s: %(message)s")
+
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    from mft_tpu.models.raft.raft import RAFT, RAFTParams
+    from mft_tpu.train.checkpoint import (latest_checkpoint,
+                                          restore_checkpoint,
+                                          save_checkpoint)
+    from mft_tpu.train.loop import build_state, make_train_step
+    from mft_tpu.train.optim import make_optimizer
+    from mft_tpu.models.raft.wrapper import save_variables
+
+    H, W = args.size
+    cfg = RAFTParams(occlusion_module="separate_with_uncertainty",
+                     compute_dtype="bfloat16")
+    model = RAFT(cfg=cfg, train_mode=True)
+    tx, schedule = make_optimizer(lr=args.lr, num_steps=args.steps,
+                                  weight_decay=args.wdecay, clip=1.0)
+    state = build_state(model, tx, example_hw=(H, W))
+
+    out_dir = Path(args.out)
+    if args.resume:
+        latest = latest_checkpoint(out_dir)
+        if latest is not None:
+            state = restore_checkpoint(latest, state)
+            logger.info("resumed from %s (step %d)", latest,
+                        int(state["step"]))
+
+    loss_kwargs = dict(gamma=args.gamma,
+                       freeze_optical_flow=False,
+                       occlusion_module="separate_with_uncertainty",
+                       uncertainty_loss_type="huber_non_occluded",
+                       optical_flow_loss_type="L1")
+    step_fn = make_train_step(model, tx, loss_kwargs, iters=args.iters,
+                              train_bn=True)
+
+    # --- validation: EPE / occl-acc / sigma-EPE correlation on a fixed batch
+    vimg1, vimg2, vflow, vvalid, voccl = fixed_val_batch(H, W)
+    vbatch = tuple(jnp.asarray(b) for b in (vimg1, vimg2))
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def val_forward(variables, img1, img2, iters):
+        preds, _ = model.apply(variables, img1, img2, iters=iters,
+                               test_mode=False, mutable=["batch_stats"])
+        return preds["flow"][-1], preds["occlusion"][-1], preds["uncertainty"][-1]
+
+    def run_val(variables):
+        flow_p, occl_p, unc_p = jax.tree.map(
+            np.asarray, val_forward(variables, *vbatch, iters=args.iters))
+        epe = np.sqrt(((flow_p - vflow) ** 2).sum(-1))
+        m = vvalid > 0.5
+        occ_pred = np.asarray(occl_p)[..., 1] > np.asarray(occl_p)[..., 0]
+        occ_acc = float((occ_pred == (voccl > 0.5))[m].mean())
+        sigma = np.exp(0.5 * np.asarray(unc_p)[..., 0])
+        nonocc = m & (voccl < 0.5)
+        corr = float(np.corrcoef(sigma[nonocc], epe[nonocc])[0, 1])
+        return dict(val_epe=float(epe[m].mean()),
+                    val_epe_nonocc=float(epe[nonocc].mean()),
+                    val_px1=float((epe[nonocc] < 1).mean()),
+                    val_px3=float((epe[nonocc] < 3).mean()),
+                    val_occ_acc=occ_acc, val_sigma_epe_corr=corr)
+
+    stream = CachedSynthData(args.data, (H, W), args.batch)
+    logger.info("dataset: %d scenes from %s", len(stream.scenes), args.data)
+
+    stop_flag = {"stop": False}
+
+    def _sigterm(signum, frame):
+        logger.info("signal %d: will checkpoint and exit", signum)
+        stop_flag["stop"] = True
+
+    signal.signal(signal.SIGTERM, _sigterm)
+    signal.signal(signal.SIGINT, _sigterm)
+
+    def export(variables):
+        tmp = Path(str(args.export) + ".tmp")
+        save_variables(tmp, jax.tree.map(np.asarray, variables))
+        os.replace(tmp, args.export)
+        logger.info("exported weights to %s", args.export)
+
+    t_log = time.time()
+    data_wait = 0.0
+    step = int(state["step"])
+    pend = []  # device-side metric handles; only synced at log boundaries so
+    # the host generates the next batch while the TPU runs the current step
+    while step < args.steps and not stop_flag["stop"]:
+        t0 = time.time()
+        batch_np = stream.next_batch()
+        data_wait += time.time() - t0
+        batch = tuple(jnp.asarray(b) for b in batch_np)
+        state, metrics = step_fn(state, batch)
+        step += 1
+        pend.append(metrics)
+        if step % args.log_every == 0:
+            losses = np.array([float(m["train/loss"]) for m in pend])
+            epes = np.array([float(m["train/epe"]) for m in pend])
+            dt = time.time() - t_log
+            logger.info(
+                "step %6d  loss %.4f  epe %.3f  lr %.2e  %.2f steps/s"
+                "  data-wait %.0f%%",
+                step, losses.mean(), epes.mean(),
+                float(schedule(step)), len(pend) / dt, 100 * data_wait / dt)
+            if not np.isfinite(losses[-1]):
+                logger.error("non-finite loss at step %d — stopping so the "
+                             "run can be resumed from the last checkpoint",
+                             step)
+                break
+            t_log, data_wait = time.time(), 0.0
+            pend = []
+        if step % args.save_every == 0:
+            save_checkpoint(out_dir, step, state)
+            export(state["variables"])
+            val = run_val(state["variables"])
+            logger.info("val @%d: %s", step, json.dumps(
+                {k: round(v, 4) for k, v in val.items()}))
+
+    stream.close()
+    save_checkpoint(out_dir, step, state)
+    export(state["variables"])
+    val = run_val(state["variables"])
+    logger.info("final val @%d: %s", step, json.dumps(
+        {k: round(v, 4) for k, v in val.items()}))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    main()
