@@ -467,3 +467,41 @@ def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int = 4,
         for lvl, corr_l in enumerate(pyramid)
     ]
     return jnp.concatenate(out, axis=-1).reshape(B, H, W, -1).astype(out_dtype)
+
+
+def corr_lookup_fused_conv(pyramid, coords, kernel, bias, radius: int = 4,
+                           method: str = "auto", tile_p: int = 0):
+    """Lookup fused with the motion encoder's convc1: relu(lookup @ Wc + b).
+
+    Inference-only epilogue fusion (ops/corr_lookup_pallas.py
+    corr_lookup_pallas_fused): the (2r+1)^2*L window samples stay in VMEM
+    and contract against the (1,1,C,F) conv kernel in the same Pallas call,
+    skipping the HBM round-trip of the C-channel lookup output. Non-TPU /
+    untileable shapes fall back to the exact unfused composition, so the
+    function's semantics do not vary with the backend.
+
+    args:
+      pyramid: build_corr_pyramid output (plain list layout only).
+      coords: (B, H, W, 2) level-0 correspondence coordinates.
+      kernel: (1, 1, C, F) convc1 kernel; bias: (F,).
+    returns: (B, H, W, F) in the pyramid's dtype.
+    """
+    B, H, W, _ = coords.shape
+    C, F = kernel.shape[2], kernel.shape[3]
+    out_dtype = pyramid[0].dtype
+    if method in ("auto", "pallas"):
+        from mft_tpu.ops.corr_lookup_pallas import (corr_lookup_pallas_fused,
+                                                    _tile_p)
+        cap = tile_p or (512 if out_dtype == jnp.bfloat16 else 256)
+        if jax.default_backend() == "tpu" and _tile_p(H * W, cap) >= 8:
+            out = corr_lookup_pallas_fused(
+                list(pyramid), coords.reshape(B, H * W, 2),
+                kernel.reshape(C, F), bias, radius, tile_p=cap)
+            return out.reshape(B, H, W, F)
+    samples = corr_lookup(pyramid, coords, radius, method=method,
+                          tile_p=tile_p)
+    acc = jnp.einsum("bhwc,cf->bhwf", samples.astype(out_dtype),
+                     kernel.reshape(C, F).astype(out_dtype),
+                     preferred_element_type=jnp.float32)
+    acc = acc + bias.astype(jnp.float32)
+    return jnp.maximum(acc, 0.0).astype(out_dtype)

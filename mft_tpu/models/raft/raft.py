@@ -30,7 +30,8 @@ from mft_tpu.models.raft.update import (
     OcclusionAndUncertaintyBlock,
     SmallUpdateBlock,
 )
-from mft_tpu.models.raft.corr import build_corr_pyramid, corr_lookup
+from mft_tpu.models.raft.corr import (build_corr_pyramid, corr_lookup,
+                                      corr_lookup_fused_conv)
 from mft_tpu.models.raft.upsample import (convex_upsample_multi,
                                            upflow8, upsample8)
 
@@ -44,9 +45,13 @@ class RAFTParams:
     corr_radius: int = 4
     normalized_features: bool = False
     corr_method: str = "auto"  # 'auto'|'pallas'|'mixed'|'mxu'|'gather'|'alt'|'win'|'pallas_t'|'fold'|'int8'|'packed'|'packed_i8'
-    compute_dtype: str = "float32"  # 'bfloat16' for mixed-precision inference
+    compute_dtype: str = "float32"  # 'bfloat16' | 'auto' (bf16 on TPU only)
     conv_backend: str = "auto"  # 'auto'|'conv'|'matmul'|'im2col'|'hybrid'|'pallas' (update.py conv_apply)
     corr_tile: int = 0  # pixel-tile override for the pallas lookup (0 = auto)
+    fuse_lookup: str = "auto"  # 'auto'|'on'|'off' — fuse corr lookup with the
+    # motion encoder's convc1+relu in one Pallas kernel on iterations whose
+    # only corr consumer is the update block (inference-only; corr.py
+    # corr_lookup_fused_conv)
     relu_uncertainty: bool = False
     ou_last_iter_only: bool = False
     dropout: float = 0.0
@@ -74,6 +79,15 @@ class RAFTParams:
 
     @property
     def dtype(self):
+        """Compute dtype. 'auto' = bfloat16 on TPU, float32 elsewhere.
+
+        bf16 is the TPU production precision (MXU-native; the measured
+        TPU-path drift bound in docs/PERFORMANCE.md covers it); on CPU
+        bf16 is emulated and slow, so 'auto' keeps f32 there.
+        """
+        if self.compute_dtype == "auto":
+            return (jnp.bfloat16 if jax.default_backend() == "tpu"
+                    else jnp.float32)
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
     @property
@@ -171,8 +185,10 @@ class RAFT(nn.Module):
                 # with the differentiable shifted-matmul lowering instead
                 matmul = True
             self.update_block = BasicUpdateBlock(
-                hidden_dim=self.cfg.hidden_dim, dtype=dt,
-                matmul=matmul)
+                hidden_dim=self.cfg.hidden_dim,
+                corr_channels=(self.cfg.corr_levels
+                               * (2 * self.cfg.effective_corr_radius + 1) ** 2),
+                dtype=dt, matmul=matmul)
         if self.cfg.occlusion_estimation:
             self.occlusion_block = OcclusionAndUncertaintyBlock(
                 architecture=self.cfg.ou_architecture, dtype=dt)
@@ -350,15 +366,25 @@ class RAFT(nn.Module):
 
         flow_preds, occl_preds, unc_preds = [], [], []
         flow_up = occl_up = uncertainty_up = None
+        fuse = self._fused_lookup_on(lookup_method)
         for itr in range(iters):
             coords1 = jax.lax.stop_gradient(coords1)
-            corr = corr_lookup(pyramid, coords1, cfg.effective_corr_radius,
-                               method=lookup_method, tile_p=cfg.corr_tile)
-
             is_last = itr == iters - 1
             need_up = (not test_mode) or is_last
             ou_this_iter = cfg.occlusion_estimation and (
                 is_last if (test_mode or cfg.ou_last_iter_only) else True)
+
+            if fuse and not ou_this_iter:
+                # corr's only consumer this iteration is the motion encoder's
+                # convc1 — hand the update block a closure that computes
+                # relu(convc1(lookup)) inside the lookup kernel itself, so the
+                # 324-ch window samples never round-trip HBM
+                corr = lambda k, b, _c=coords1: corr_lookup_fused_conv(
+                    pyramid, _c, k, b, cfg.effective_corr_radius,
+                    method=lookup_method, tile_p=cfg.corr_tile)
+            else:
+                corr = corr_lookup(pyramid, coords1, cfg.effective_corr_radius,
+                                   method=lookup_method, tile_p=cfg.corr_tile)
 
             flow = coords1 - coords0
             # the convex-upsampling mask is consumed only on iterations that
@@ -425,6 +451,20 @@ class RAFT(nn.Module):
                 outputs["uncertainty"] = unc_preds
         outputs["coords"] = coords1 - coords0
         return outputs
+
+    def _fused_lookup_on(self, lookup_method: str) -> bool:
+        """True when the lookup→convc1 fused epilogue applies.
+
+        Inference-only (the fused kernel has no VJP), big model only, and
+        only for the plain-list pyramid layouts the fused kernel consumes.
+        'auto' enables it on TPU.
+        """
+        cfg = self.cfg
+        if cfg.fuse_lookup == "off" or self.train_mode or cfg.small:
+            return False
+        if lookup_method not in ("auto", "pallas"):
+            return False
+        return cfg.fuse_lookup == "on" or jax.default_backend() == "tpu"
 
     def _flow_scheduled(self, fmap1, fmap2, cnet, iters_schedule,
                         flow_init, test_mode):
@@ -500,6 +540,7 @@ class RAFT(nn.Module):
         inp = nn.relu(cnet[..., cfg.hidden_dim:])
         coords0 = initialize_coords(B, H8, W8)
         coords1 = coords0 if flow_init is None else coords0 + flow_init
+        fuse = self._fused_lookup_on(cfg.corr_method)
 
         outs = [None] * B  # per ORIGINAL pair index
         m = B
@@ -509,9 +550,18 @@ class RAFT(nn.Module):
                 pyramid = slice_pyr(pyramid, m)
                 net, inp = net[:m], inp[:m]
                 coords0, coords1 = coords0[:m], coords1[:m]
-            corr = corr_lookup(pyramid, coords1, cfg.effective_corr_radius,
-                               method=cfg.corr_method, tile_p=cfg.corr_tile)
             m_next = counts[itr + 1] if itr + 1 < max_iters else 0
+            if fuse and m_next == m:
+                # no pair exits after this iteration, so corr's only consumer
+                # is convc1 — same fused closure as the uniform path
+                corr = lambda k, b, _c=coords1, _p=pyramid: (
+                    corr_lookup_fused_conv(_p, _c, k, b,
+                                           cfg.effective_corr_radius,
+                                           method=cfg.corr_method,
+                                           tile_p=cfg.corr_tile))
+            else:
+                corr = corr_lookup(pyramid, coords1, cfg.effective_corr_radius,
+                                   method=cfg.corr_method, tile_p=cfg.corr_tile)
             flow = coords1 - coords0
             net, up_mask, delta_flow, motion_features = self.update_block(
                 net, inp, corr, flow, need_mask=m_next < m,

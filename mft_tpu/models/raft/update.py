@@ -158,8 +158,33 @@ class MoreLayersHead(nn.Module):
                        name="conv3")(x)
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for MXConv: declares the same {kernel, bias}
+    tree (so checkpoints are interchangeable) and returns them raw, letting
+    the caller choose the apply path — conv_apply or a fused Pallas epilogue
+    (corr.py corr_lookup_fused_conv)."""
+    features: int
+    kernel_size: tuple
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        return kernel, bias
+
+
 class BasicMotionEncoder(nn.Module):
-    """Encode (corr window sample, flow) into 128-ch motion features."""
+    """Encode (corr window sample, flow) into 128-ch motion features.
+
+    ``corr`` is either the (B, H, W, C) lookup output, or — on the fused
+    inference path — a callable ``corr(kernel, bias) -> (B, H, W, 256)``
+    that computes relu(convc1(lookup)) inside the lookup kernel itself;
+    convc1's parameters are declared here either way (same tree).
+    """
     corr_channels: int = 324  # 4 levels * 9^2
     dtype: object = jnp.float32
     matmul: object = False  # False | True (shifted matmuls) | "im2col"
@@ -167,10 +192,14 @@ class BasicMotionEncoder(nn.Module):
     @nn.compact
     def __call__(self, flow, corr):
         flow = flow.astype(self.dtype)
-        corr = corr.astype(self.dtype)
         mm = self.matmul
-        cor = nn.relu(MXConv(256, (1, 1), padding="VALID", dtype=self.dtype,
-                             matmul=mm, name="convc1")(corr))
+        ck, cb = _ConvParams(256, (1, 1), self.corr_channels,
+                             name="convc1")()
+        if callable(corr):
+            cor = corr(ck, cb).astype(self.dtype)
+        else:
+            corr = corr.astype(self.dtype)
+            cor = nn.relu(conv_apply(corr, ck, cb, "VALID", self.dtype, mm))
         cor = nn.relu(MXConv(192, (3, 3), padding=_pad(3), dtype=self.dtype,
                              matmul=mm, name="convc2")(cor))
         # convf1 stays a conv: 7x7 on 2 input channels — 49 shifted matmuls
@@ -248,6 +277,7 @@ def _fused_conv_pair(parent, conv_a, conv_b, x, ksize, pad, matmul=False):
 class BasicUpdateBlock(nn.Module):
     """One RAFT refinement step: motion enc -> GRU -> flow delta + up-mask."""
     hidden_dim: int = 128
+    corr_channels: int = 324  # levels * (2*radius+1)^2
     dtype: object = jnp.float32
     matmul: object = False  # False | True (shifted matmuls) | "im2col"
 
@@ -255,7 +285,8 @@ class BasicUpdateBlock(nn.Module):
     def __call__(self, net, inp, corr, flow, need_mask: bool = True,
                  mask_rows=None):
         mm = self.matmul
-        motion_features = BasicMotionEncoder(dtype=self.dtype, matmul=mm,
+        motion_features = BasicMotionEncoder(corr_channels=self.corr_channels,
+                                             dtype=self.dtype, matmul=mm,
                                              name="encoder")(flow, corr)
         gru_in = jnp.concatenate([inp, motion_features], axis=-1)
         net = SepConvGRU(self.hidden_dim, dtype=self.dtype, matmul=mm,

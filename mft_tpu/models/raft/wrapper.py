@@ -65,8 +65,13 @@ def raft_params_from_config(raft_kwargs) -> RAFTParams:
         relu_uncertainty=bool(get("relu_uncertainty", False)),
         corr_method=str(get("corr_method", "auto")),
         corr_tile=_pow2_tile(get("corr_tile", 0)),
-        compute_dtype=str(get("compute_dtype", "float32")),
+        # 'auto' = bf16 on TPU, f32 elsewhere: the TPU production default —
+        # a config omitting compute_dtype gets the MXU-native precision the
+        # measured drift bound covers (docs/PERFORMANCE.md), while CPU runs
+        # (tests, demo) keep f32. Set 'float32' explicitly for the exact path.
+        compute_dtype=str(get("compute_dtype", "auto")),
         conv_backend=str(get("conv_backend", "auto")),
+        fuse_lookup=str(get("fuse_lookup", "auto")),
         ou_last_iter_only=bool(get("OU_last_iter_only", False)),
     )
 

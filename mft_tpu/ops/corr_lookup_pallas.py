@@ -178,6 +178,121 @@ def corr_lookup_pallas(pyramid, coords, radius: int = 4, tile_p: int = 256,
     )(coords.astype(jnp.float32), *pyramid)
 
 
+# --------------------------------------------------------------------------- #
+# layout A + fused epilogue: lookup -> motion-encoder convc1 (1x1) -> relu
+# --------------------------------------------------------------------------- #
+def _kernel_pixel_major_fused(coords_ref, wc_ref, b_ref, *rest, radius: int,
+                              tile_p: int):
+    """Pixel-major lookup with the 324->256 1x1 conv fused as an epilogue.
+
+    Identical per-level tent contractions as _kernel_pixel_major, but the
+    (tile_p, L*n*n) window samples stay in a VMEM scratch and are contracted
+    against the motion encoder's convc1 kernel (+bias, relu) before leaving
+    the kernel — the 324-ch lookup output never round-trips HBM on the
+    iterations whose only consumer is convc1 (reference update.py:142-160
+    applies convc1 immediately to the CUDA lookup's output).
+    """
+    n = 2 * radius + 1
+    corr_refs, out_ref, s_ref = rest[:-2], rest[-2], rest[-1]
+    c = coords_ref[0]
+    cx = c[:, 0][:, None, None]
+    cy = c[:, 1][:, None, None]
+
+    for lvl, ref in enumerate(corr_refs):
+        h, w = ref.shape[2], ref.shape[3]
+        dt = ref.dtype
+        inv = 1.0 / (2.0 ** lvl)
+        base = lvl * n * n
+
+        kx = jax.lax.broadcasted_iota(jnp.int32, (tile_p, n, w), 1).astype(jnp.float32) - radius
+        xx = jax.lax.broadcasted_iota(jnp.int32, (tile_p, n, w), 2).astype(jnp.float32)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(cx * inv + kx - xx)).astype(dt)
+
+        ky = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_p, n, h), 1).astype(jnp.float32) - radius
+        yy = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_p, n, h), 2).astype(jnp.float32)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(cy * inv + ky - yy)).astype(dt)
+        t = jax.lax.dot_general(
+            wy, ref[0],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dt)
+        s = jax.lax.dot_general(
+            wx, t,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        for i in range(n):
+            s_ref[:, base + i * n: base + (i + 1) * n] = (
+                s[:, i, :].astype(s_ref.dtype))
+
+    # epilogue: relu(samples @ Wc + b) — samples quantize through the volume
+    # dtype first, matching the unfused contract (lookup output is written
+    # in the pyramid's dtype and convc1 consumes that)
+    wdt = wc_ref.dtype
+    samples = s_ref[...].astype(wdt)
+    acc = jax.lax.dot_general(
+        samples, wc_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc = acc + b_ref[0].astype(jnp.float32)[None, :]
+    out_ref[0] = jnp.maximum(acc, 0.0).astype(out_ref.dtype)
+
+
+def corr_lookup_pallas_fused(pyramid, coords, wc, bias, radius: int = 4,
+                             tile_p: int = 256):
+    """Pixel-major pyramid lookup fused with a 1x1 conv + relu epilogue.
+
+    args:
+      pyramid: list of (B, P, h_l, w_l) arrays (f32 or bf16).
+      coords: (B, P, 2) float32 level-0 (x, y) centers.
+      wc: (L*(2r+1)^2, F) conv kernel; bias: (F,).
+    returns: (B, P, F) = relu(lookup(pyramid, coords) @ wc + bias) in the
+      pyramid's dtype, accumulated in float32.
+    """
+    B, P, _, _ = pyramid[0].shape
+    n = 2 * radius + 1
+    L = len(pyramid)
+    C = L * n * n
+    F = wc.shape[-1]
+    if wc.shape[0] != C:
+        raise ValueError(f"wc rows {wc.shape[0]} != L*n^2 = {C}")
+    tp = _tile_p(P, tile_p)
+    if tp == 0:
+        raise ValueError(f"P={P} has no power-of-two tiling")
+    out_dtype = pyramid[0].dtype
+
+    grid = (B, P // tp)
+    in_specs = [
+        pl.BlockSpec((1, tp, 2), lambda b, p: (b, p, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, F), lambda b, p: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, F), lambda b, p: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    for lvl in range(L):
+        h, w = pyramid[lvl].shape[2:]
+        in_specs.append(pl.BlockSpec(
+            (1, tp, h, w), lambda b, p: (b, p, 0, 0),
+            memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((1, tp, F), lambda b, p: (b, p, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel_pixel_major_fused, radius=radius,
+                               tile_p=tp)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, P, F), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tp, C), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(coords.astype(jnp.float32), wc.astype(out_dtype),
+      bias.reshape(1, F).astype(jnp.float32), *pyramid)
+
+
 def _kernel_folded(coords_ref, *rest, radius: int, tile_p: int, dims,
                    ywin: int = 0):
     """Pixel-major lookup over FOLDED fully-lane-packed volume levels.
