@@ -27,8 +27,14 @@ logger = logging.getLogger(__name__)
 
 
 def track_sequence(tracker, video, start_frame, direction="forward",
-                   flow_cache=None):
+                   flow_cache=None, chunk=8):
     """Track from ``start_frame`` to the video end (or start, if backward).
+
+    Frames are fed ``chunk`` at a time through ``tracker.track_chunk`` —
+    on a cold flow cache that is one device dispatch per chunk (with
+    in-graph pairwise write-back rows) instead of ~22 per frame; the
+    tracker falls back to per-frame tracking by itself whenever the cache
+    holds hits or the fused path is unavailable.
 
     returns: {frame_i: meta} with meta.result a FlowOU (template->frame_i).
     Reference parity: run_MFT_tapvid.py:251-285.
@@ -38,10 +44,14 @@ def track_sequence(tracker, video, start_frame, direction="forward",
                                        start_frame_i=start_frame,
                                        time_direction=time_direction,
                                        flow_cache=flow_cache)}
-    frame_range = (range(start_frame + 1, len(video)) if time_direction > 0
-                   else range(start_frame - 1, -1, -1))
-    for frame_i in frame_range:
-        metas[frame_i] = tracker.track(video[frame_i])
+    frame_is = (list(range(start_frame + 1, len(video)))
+                if time_direction > 0
+                else list(range(start_frame - 1, -1, -1)))
+    for s in range(0, len(frame_is), chunk):
+        idxs = frame_is[s:s + chunk]
+        for fi, meta in zip(idxs,
+                            tracker.track_chunk([video[i] for i in idxs])):
+            metas[fi] = meta
     return metas
 
 

@@ -422,41 +422,35 @@ class MFT:
             # as the unfused path); write back every cacheable miss
             step = self._get_fused_frame(pairwise_out=True)
             (self.mem_imgs, self.mem_flow, self.mem_occl, self.mem_sigma,
-             self.mem_fmap, self.mem_cnet, result,
-             flows, occls, sigmas) = step(
+             self.mem_fmap, self.mem_cnet, result, rows) = step(
                 self.flower.variables, self.mem_imgs, self.mem_flow,
                 self.mem_occl, self.mem_sigma, self.mem_fmap, self.mem_cnet,
                 img, slots, valid, wslot, pslot)
             for i, c in enumerate(cands):
                 if c.valid and c.cacheable and i not in cached:
-                    # device-array slices: the cache's device tier keeps them
-                    # in HBM (spilling to RAM/disk converts then) — a
+                    # pre-split device rows: the cache's device tier keeps
+                    # them in HBM (spilling to RAM/disk converts then) — a
                     # np.asarray here would fetch ~4 MB/pair to host per frame
-                    cache.write(c.left_id, t, flows[i], occls[i], sigmas[i])
+                    cache.write(c.left_id, t, *rows[i])
         else:
             compute_idx = tuple(i for i, c in enumerate(cands)
                                 if c.valid and i not in cached)
-            H, W = self.img_H, self.img_W
-            zf = jnp.zeros((H, W, 2), jnp.float32)
-            zs = jnp.zeros((H, W), jnp.float32)
-            inj = [cached.get(i, (zf, zs, zs)) for i in range(N)]
-            # jnp.asarray passes device-tier hits through untouched and
-            # uploads RAM/disk-tier hits; stacking stays on device
-            inj_flows = jnp.stack([jnp.asarray(p[0]) for p in inj])
-            inj_occls = jnp.stack([jnp.asarray(p[1]) for p in inj])
-            inj_sigmas = jnp.stack([jnp.asarray(p[2]) for p in inj])
-            step = self._get_fused_frame_inject(compute_idx)
+            inj_idx = tuple(sorted(cached))
+            # hit triples go in as a pytree: device-tier rows pass through
+            # untouched, RAM/disk-tier hits upload as call args; the zero
+            # rows for invalid candidates and ALL stacking happen in-graph
+            # (host-side zeros + stacks used to cost 5 dispatches per frame)
+            inj_rows = tuple(cached[i] for i in inj_idx)
+            step = self._get_fused_frame_inject(compute_idx, inj_idx)
             (self.mem_imgs, self.mem_flow, self.mem_occl, self.mem_sigma,
-             self.mem_fmap, self.mem_cnet, result,
-             flows, occls, sigmas) = step(
+             self.mem_fmap, self.mem_cnet, result, comp_rows) = step(
                 self.flower.variables, self.mem_imgs, self.mem_flow,
                 self.mem_occl, self.mem_sigma, self.mem_fmap, self.mem_cnet,
-                img, slots, valid, wslot, inj_flows, inj_occls, inj_sigmas,
-                pslot)
-            for i in compute_idx:
+                img, slots, valid, wslot, inj_rows, pslot)
+            for p, i in enumerate(compute_idx):
                 c = cands[i]
                 if c.cacheable:
-                    cache.write(c.left_id, t, flows[i], occls[i], sigmas[i])
+                    cache.write(c.left_id, t, *comp_rows[p])
 
         meta = SimpleNamespace()
         meta.result = result
@@ -509,8 +503,12 @@ class MFT:
         """One jitted function for a full fused frame (see track()).
 
         ``pairwise_out=True`` additionally returns the per-candidate pairwise
-        (flows, occls, sigmas) so cacheable pairs can be written back to a
-        FlowCache.
+        (flow, occl, sigma) as N per-row triples so cacheable pairs can be
+        written back to a FlowCache. The rows are split INSIDE the jitted
+        call: slicing the stacked output host-side would dispatch 3N extra
+        device ops per frame, and through a remote device tunnel each
+        dispatch costs ~10 ms — that overhead alone held the cold-cache
+        runner at 3 FPS (tools/runner_throughput.py, round 3).
         """
         sched = self._iters_schedule()
         warm = self._warm_start()
@@ -532,29 +530,37 @@ class MFT:
                 wslot, pslot=pslot if warm else None)
             out = mems + (result,)
             if pairwise_out:
-                out = out + pairwise
+                fl, oc, si = pairwise
+                out = out + (tuple((fl[i], oc[i], si[i])
+                                   for i in range(len(self.deltas))),)
             return out
 
         cache[key] = frame
         return frame
 
-    def _get_fused_chunk(self, K):
+    def _get_fused_chunk(self, K, pairwise_out=False):
         """Jitted K-frame step: K fused frames unrolled into ONE dispatch.
 
         Through a remote device tunnel every jitted dispatch costs
         milliseconds of host-side latency (arg flattening + transport);
         amortizing it over K frames is free throughput. Math is identical
         to K sequential _get_fused_frame calls (same body, chained memory).
+
+        ``pairwise_out=True`` additionally returns, per frame, the N
+        per-candidate (flow, occl, sigma) row triples — pre-split in-graph —
+        so a cold-cache pass can write every pairwise flow back to a
+        FlowCache without per-row host-side slice dispatches.
         """
         sched = self._iters_schedule()
         warm = self._warm_start()
-        key = (self.img_H, self.img_W, "chunk", K, sched, warm)
+        key = (self.img_H, self.img_W, "chunk", K, sched, warm, pairwise_out)
         cache = self._frame_fn_cache()
         if key in cache:
             return cache[key]
         occl_thresh = float(cfg_value(self.C.occlusion_threshold, 0.02))
         enc = self.flower.padded_encode(self.img_H, self.img_W)
         fwd, warm = self._features_fwd()
+        N = len(self.deltas)
 
         @partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6))
         def chunk(variables, mem_imgs, mem_flow, mem_occl, mem_sigma,
@@ -563,17 +569,25 @@ class MFT:
             mems = (mem_imgs, mem_flow, mem_occl, mem_sigma,
                     mem_fmap, mem_cnet)
             results = []
+            rows_k = []
             for k in range(K):
-                mems, result, _ = self._fused_frame_body(
+                mems, result, pairwise = self._fused_frame_body(
                     enc, fwd, occl_thresh, variables, mems, imgs[k],
                     slots[k], valid[k], wslots[k],
                     pslot=pslots[k] if warm else None)
                 results.append(result)
+                if pairwise_out:
+                    fl, oc, si = pairwise
+                    rows_k.append(tuple((fl[i], oc[i], si[i])
+                                        for i in range(N)))
             stacked = FlowOU(
                 flow=jnp.stack([r.flow for r in results]),
                 occlusion=jnp.stack([r.occlusion for r in results]),
                 sigma=jnp.stack([r.sigma for r in results]))
-            return mems + (stacked,)
+            out = mems + (stacked,)
+            if pairwise_out:
+                out = out + (tuple(rows_k),)
+            return out
 
         cache[key] = chunk
         return chunk
@@ -584,8 +598,12 @@ class MFT:
         Semantically identical to calling :meth:`track` once per frame (the
         device graph is the same frame body unrolled); returns a list of
         per-frame metas whose ``result`` views lazily slice the stacked
-        device output. Falls back to per-frame tracking when a FlowCache is
-        attached or the fused path is unavailable.
+        device output. Falls back to per-frame tracking when the fused path
+        is unavailable, or when an attached FlowCache holds a hit for any
+        pair in the chunk (a cold cache chunks fine — every pairwise flow is
+        computed from ring memory exactly as per-frame tracking would — and
+        the computed rows are written back; mixed hit/miss frames need the
+        per-frame injection machinery).
         """
         stacked_in = None
         if isinstance(imgs, jnp.ndarray) and imgs.ndim == 4:
@@ -593,14 +611,20 @@ class MFT:
             imgs = [imgs[k] for k in range(imgs.shape[0])]
         else:
             imgs = list(imgs)
-        if (self.flow_cache is not None or not self._use_fused()
-                or self.mem_fmap is None or len(imgs) == 0):
+        if (not self._use_fused() or self.mem_fmap is None
+                or len(imgs) == 0):
             return [self.track(im, **kwargs) for im in imgs]
         K = len(imgs)
         td = self.time_direction
         t0 = self.current_frame_i
         ts = [t0 + (k + 1) * td for k in range(K)]
         cands_k = [self._candidates(t) for t in ts]
+        write_cache = self.flow_cache is not None
+        if write_cache:
+            for ck, t in zip(cands_k, ts):
+                hits, _ = self._read_cache_hits(ck, t)
+                if hits:
+                    return [self.track(im, **kwargs) for im in imgs]
         key = tuple((tuple(c.slot for c in ck), tuple(c.valid for c in ck),
                      t % self.ring) for ck, t in zip(cands_k, ts))
         cache = getattr(self, "_idx_cache", None)
@@ -631,12 +655,18 @@ class MFT:
                     [(t - self.time_direction) % self.ring for t in ts],
                     jnp.int32)
             pslots = cache[pkey]
-        step = self._get_fused_chunk(K)
-        (self.mem_imgs, self.mem_flow, self.mem_occl, self.mem_sigma,
-         self.mem_fmap, self.mem_cnet, stacked) = step(
+        step = self._get_fused_chunk(K, pairwise_out=write_cache)
+        out = step(
             self.flower.variables, self.mem_imgs, self.mem_flow,
             self.mem_occl, self.mem_sigma, self.mem_fmap, self.mem_cnet,
             imgs_d, slots, valid, wslots, pslots)
+        (self.mem_imgs, self.mem_flow, self.mem_occl, self.mem_sigma,
+         self.mem_fmap, self.mem_cnet, stacked) = out[:7]
+        if write_cache:
+            for k, (ck, t) in enumerate(zip(cands_k, ts)):
+                for i, c in enumerate(ck):
+                    if c.valid and c.cacheable:
+                        self.flow_cache.write(c.left_id, t, *out[7][k][i])
         self.current_frame_i = ts[-1]
         metas = []
         for k in range(K):
@@ -647,17 +677,24 @@ class MFT:
             metas.append(meta)
         return metas
 
-    def _get_fused_frame_inject(self, compute_idx):
+    def _get_fused_frame_inject(self, compute_idx, inj_idx):
         """Fused frame variant with host-injected pairwise flows.
 
         ``compute_idx`` (static tuple) lists the candidate indices that must
-        run through RAFT; all others use the injected cache hits. Typically
+        run through RAFT; ``inj_idx`` (static tuple) the indices whose
+        pairwise flow arrives as a cache-hit row triple. Indices in neither
+        set are invalid candidates and get in-graph zeros. Typically
         compute_idx is (0,) — just the non-cacheable delta=inf pair — or ()
         when everything hit, making a warm-cache frame RAFT-free.
+
+        The injected rows are stacked and the computed rows split INSIDE the
+        jitted call (one dispatch per frame total; host-side zeros/stack/
+        slice ops each cost a ~10 ms dispatch through a remote tunnel).
         """
         sched = self._iters_schedule()
         warm = self._warm_start() and self._inf_idx in compute_idx
-        key = (self.img_H, self.img_W, "inject", compute_idx, sched, warm)
+        key = (self.img_H, self.img_W, "inject", compute_idx, inj_idx,
+               sched, warm)
         cache = self._frame_fn_cache()
         if key in cache:
             return cache[key]
@@ -666,13 +703,27 @@ class MFT:
         fwd, warm = self._features_fwd(compute_idx)
         idx = jnp.asarray(compute_idx, jnp.int32)
         K = len(compute_idx)
+        N = len(self.deltas)
+        pos = {j: p for p, j in enumerate(inj_idx)}
 
         @partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6))
         def frame(variables, mem_imgs, mem_flow, mem_occl, mem_sigma,
                   mem_fmap, mem_cnet, img, slots, valid, wslot,
-                  inj_flows, inj_occls, inj_sigmas, pslot=None):
+                  inj_rows, pslot=None):
             f_new, c_new = enc(variables, img[None].astype(jnp.float32))
-            flows, occls, sigmas = inj_flows, inj_occls, inj_sigmas
+            H, W = mem_flow.shape[1:3]
+            zf = jnp.zeros((H, W, 2), jnp.float32)
+            zs = jnp.zeros((H, W), jnp.float32)
+            flows = jnp.stack([
+                jnp.asarray(inj_rows[pos[i]][0], jnp.float32)
+                if i in pos else zf for i in range(N)])
+            occls = jnp.stack([
+                jnp.asarray(inj_rows[pos[i]][1], jnp.float32)
+                if i in pos else zs for i in range(N)])
+            sigmas = jnp.stack([
+                jnp.asarray(inj_rows[pos[i]][2], jnp.float32)
+                if i in pos else zs for i in range(N)])
+            comp_rows = ()
             if K:
                 fmap1 = jnp.take(mem_fmap, jnp.take(slots, idx), axis=0)
                 cnet1 = jnp.take(mem_cnet, jnp.take(slots, idx), axis=0)
@@ -685,6 +736,7 @@ class MFT:
                 flows = flows.at[idx].set(cf)
                 occls = occls.at[idx].set(co)
                 sigmas = sigmas.at[idx].set(cs)
+                comp_rows = tuple((cf[p], co[p], cs[p]) for p in range(K))
             left = FlowOU(flow=jnp.take(mem_flow, slots, axis=0),
                           occlusion=jnp.take(mem_occl, slots, axis=0),
                           sigma=jnp.take(mem_sigma, slots, axis=0))
@@ -697,7 +749,7 @@ class MFT:
             mem_fmap = mem_fmap.at[wslot].set(f_new[0])
             mem_cnet = mem_cnet.at[wslot].set(c_new[0])
             return (mem_imgs, mem_flow, mem_occl, mem_sigma,
-                    mem_fmap, mem_cnet, result, flows, occls, sigmas)
+                    mem_fmap, mem_cnet, result, comp_rows)
 
         cache[key] = frame
         return frame

@@ -112,6 +112,9 @@ def main():
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--model", default=None,
+                    help="trained checkpoint (.msgpack/.pth) to use instead "
+                         "of the random-init shared weights")
     args = ap.parse_args()
 
     sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -129,8 +132,11 @@ def main():
                                n_tracks=8, occluded_gt=True)
     with open(pkl, "rb") as f:
         video = pickle.load(f)["seq0"]["video"]
-    ckpt = make_shared_weights(wd / "weights.pth", seed=0, occl_gain=8.0,
-                               calib_frames=(video[0], video[2]))
+    if args.model:
+        ckpt = args.model
+    else:
+        ckpt = make_shared_weights(wd / "weights.pth", seed=0, occl_gain=8.0,
+                                   calib_frames=(video[0], video[2]))
 
     deltas = [np.inf, 1, 2, 4, 8, 16, 32]
     # schedules aligned with the sorted delta order [inf,1,2,4,8,16,32]

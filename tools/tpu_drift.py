@@ -15,7 +15,9 @@ binarization flips (eval threshold 0.5, reference eval_MFT_tapvid.py:107)
 and selection-threshold flips (0.02, configs/MFT_cfg.py:16), tracked over
 time (drift = does the gap GROW with chain length?).
 
-Usage: PYTHONPATH=/root/repo python tools/tpu_drift.py [T] [SIZE]
+Usage: PYTHONPATH=/root/repo python tools/tpu_drift.py [T] [SIZE] [WEIGHTS]
+(WEIGHTS: optional .msgpack/.pth checkpoint, e.g. the trained-like export of
+tools/train_synth.py; default random init)
 Exit code 1 if the drift bound is exceeded. Results recorded in
 docs/PERFORMANCE.md ("TPU-path drift").
 """
@@ -26,7 +28,7 @@ import sys
 import numpy as np
 
 
-def make_tracker(exact: bool):
+def make_tracker(exact: bool, model=None):
     from mft_tpu.config import Config
     from mft_tpu.models.raft import RAFTFlow
     from mft_tpu.tracker import MFT
@@ -42,7 +44,7 @@ def make_tracker(exact: bool):
         flow_cfg.raft_params = {
             "occlusion_module": "separate_with_uncertainty",
             "compute_dtype": "bfloat16"}
-    flow_cfg.model = None
+    flow_cfg.model = model
     flow_cfg.flow_iters = 12
     cfg = Config()
     cfg.flow_config = flow_cfg
@@ -71,13 +73,14 @@ def make_frames(T, H, W, seed=0):
 def main():
     T = int(sys.argv[1]) if len(sys.argv) > 1 else 110
     H = W = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    model = sys.argv[3] if len(sys.argv) > 3 else None
 
     import jax
     jax.config.update("jax_compilation_cache_dir", ".jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
-    prod = make_tracker(exact=False)
-    ref = make_tracker(exact=True)
+    prod = make_tracker(exact=False, model=model)
+    ref = make_tracker(exact=True, model=model)
     # identical weights: copy the production model's variables
     ref.flower.variables = jax.tree.map(
         lambda x: x.astype(np.float32) if hasattr(x, "astype") else x,
