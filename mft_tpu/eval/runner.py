@@ -20,7 +20,8 @@ import numpy as np
 from mft_tpu.config import load_config
 from mft_tpu.eval.tapvid import create_tapvid_dataset
 from mft_tpu.io.cache import FlowCache
-from mft_tpu.tracker.point_tracking import convert_to_point_tracking
+from mft_tpu.tracker.point_tracking import (
+    convert_to_point_tracking, convert_to_point_tracking_batch)
 from mft_tpu.utils.repro import code_export
 
 logger = logging.getLogger(__name__)
@@ -173,11 +174,16 @@ def run(args):
                             frame_gen = (range(int(start_frame), N_frames)
                                          if direction == "forward"
                                          else range(int(start_frame), -1, -1))
-                            for frame_i in frame_gen:
-                                coords, occl = convert_to_point_tracking(
-                                    metas[frame_i].result, queries)
-                                pred_tracks[mask, frame_i, :] = coords
-                                pred_occluded[mask, frame_i] = occl
+                            # batched conversion: one sample dispatch + one
+                            # host fetch per group instead of per frame
+                            frame_list = list(frame_gen)
+                            for g in range(0, len(frame_list), 64):
+                                idxs = frame_list[g:g + 64]
+                                coords, occl = convert_to_point_tracking_batch(
+                                    [metas[i].result for i in idxs], queries)
+                                for j, fi in enumerate(idxs):
+                                    pred_tracks[mask, fi, :] = coords[j]
+                                    pred_occluded[mask, fi] = occl[j]
 
                             # optional dense flowou export from the template
                             # frame (reference run_MFT_tapvid.py:210-217)

@@ -29,3 +29,32 @@ def convert_to_point_tracking(result: FlowOU, queries):
     """Numpy-returning convenience wrapper (reference API shape)."""
     coords, occl = point_tracks(result, jnp.asarray(queries, jnp.float32))
     return np.asarray(coords), np.float32(np.asarray(occl))
+
+
+@jax.jit
+def _point_tracks_batch(flows, occls, queries):
+    from mft_tpu.core.flowou import warp_forward_points
+    from mft_tpu.core.interp import bilinear_sample
+
+    def one(flow, occl):
+        coords = warp_forward_points(flow, queries)
+        o = bilinear_sample(occl[..., None], queries)[..., 0]
+        return coords, o
+
+    return jax.vmap(one)(flows, occls)
+
+
+def convert_to_point_tracking_batch(results, queries):
+    """Batched conversion over T same-shape FlowOU results.
+
+    One stack + one jitted sample + one device fetch for the whole group —
+    the per-frame wrapper costs a dispatch and two host fetches per frame,
+    which dominates runner post-processing through a remote device tunnel.
+
+    returns: coords (T, N, 2), occlusion (T, N) numpy arrays.
+    """
+    q = jnp.asarray(queries, jnp.float32)
+    flows = jnp.stack([r.flow for r in results])
+    occls = jnp.stack([r.occlusion for r in results])
+    coords, occl = _point_tracks_batch(flows, occls, q)
+    return np.asarray(coords), np.asarray(occl).astype(np.float32)

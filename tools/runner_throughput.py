@@ -47,10 +47,13 @@ def main():
 
         # warm-up: compile + warm BOTH dispatch variants (full-batch compute
         # and warm-cache injection — the second pass over the warm frames
-        # hits the cache), then clear so the timed cold pass recomputes
-        warm = min(6, T)
-        track_sequence(tracker, video[:warm], 0, "forward", flow_cache)
-        track_sequence(tracker, video[:warm], 0, "forward", flow_cache)
+        # hits the cache), then clear so the timed cold pass recomputes.
+        # Warm over the FULL length: the chunked cold pass compiles one
+        # variant per distinct chunk length (8 and the tail), and the warm
+        # pass compiles the injection variants — all must be built before
+        # the timed passes.
+        track_sequence(tracker, video, 0, "forward", flow_cache)
+        track_sequence(tracker, video, 0, "forward", flow_cache)
         flow_cache.clear()
 
         t0 = time.perf_counter()
