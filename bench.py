@@ -1,7 +1,12 @@
 #!/usr/bin/env python
 """Headline benchmark: dense-tracking FPS at 512x512, full delta chain.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints a JSON result line {"metric", "value", "unit", "vs_baseline", ...}
+after EVERY completed mode (the last printed line is always the complete
+current result — tail-parse it). The parity/headline line is flushed as
+soon as the parity mode finishes; the secondary fast/warm modes only run
+if the internal wall-clock budget (env BENCH_BUDGET_S, default 480 s)
+leaves room, so an external timeout can no longer erase the headline.
 vs_baseline is FPS / 30 (the north-star target: >=30 FPS dense tracking at
 512x512 with deltas {inf,1,2,4,8,16,32} on one v5e chip, BASELINE.md).
 
@@ -101,12 +106,27 @@ def measure(tracker, frames, n_warm, chunk, n_chunks):
     return float(np.median(rates))
 
 
+def emit(out):
+    """Print the CURRENT full result line and flush.
+
+    Called after every completed mode, so a driver-side timeout at any
+    point still leaves a complete, parseable JSON line in the output tail
+    (the round-4 artifact was rc=124 with no line at all — never again).
+    """
+    print(json.dumps(out), flush=True)
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", ".jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     import os
+    t_start = time.perf_counter()
+    # Internal wall-clock budget: secondary modes (fast/warm) are skipped
+    # rather than risking the driver's external timeout. The parity mode
+    # (the headline) always runs and its line is flushed IMMEDIATELY.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 480))
     H = W = int(os.environ.get("BENCH_SIZE", 512))  # CPU smoke: BENCH_SIZE=128
     rng = np.random.default_rng(0)
     n_warm = 4
@@ -119,22 +139,16 @@ def main():
     frames = [rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
               for _ in range(n_frames)]
 
-    parity_fps = measure(make_tracker(), frames, n_warm, chunk, n_chunks)
-    fast_fps = measure(make_tracker(FAST_SCHEDULE, FAST_RAFT_OVERRIDES),
-                       frames, n_warm, chunk, n_chunks)
-    warm_fps = measure(
-        make_tracker(WARM_SCHEDULE, FAST_RAFT_OVERRIDES, warm_start=True),
-        frames, n_warm, chunk, n_chunks)
-
     from mft_tpu.utils.flops import frame_flops, tpu_peak_flops
     fpf = frame_flops(H, W, n_pairs=7, iters=12)
     peak = tpu_peak_flops()
+    tunnel_fetch_ms = 43.0  # measured per-fetch completion poll, floor_bench
+
+    t0 = time.perf_counter()
+    parity_fps = measure(make_tracker(), frames, n_warm, chunk, n_chunks)
+    parity_cost = time.perf_counter() - t0
+
     achieved = fpf * parity_fps
-    # The remote tunnel's end-of-chunk completion poll costs ~43 ms per
-    # blocking fetch regardless of queued work (measured by the chunk-length
-    # sweep in tools/floor_bench.py; a directly-attached chip would not pay
-    # it). It amortizes to 43/chunk ms/frame; corrected = raw minus that.
-    tunnel_fetch_ms = 43.0
     corrected_fps = 1000.0 / (1000.0 / parity_fps - tunnel_fetch_ms / chunk)
     out = {
         "metric": "dense_tracking_fps_512px_full_deltas",
@@ -142,21 +156,44 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(parity_fps / 30.0, 3),
         "parity_fps": round(parity_fps, 2),
-        "fast_fps": round(fast_fps, 2),
-        "warm_fps": round(warm_fps, 2),
         "tunnel_corrected_fps": round(corrected_fps, 2),
         "tflops_per_frame": round(fpf / 1e12, 3),
         "achieved_tflops": round(achieved / 1e12, 1),
     }
     if peak:
         out["mfu"] = round(achieved / peak, 3)
-    print(json.dumps({
-        **out,
-        "fast_mode": "per-delta GRU iteration schedule "
-                     f"{FAST_SCHEDULE} (configs/MFT_fast_cfg.py)",
-        "warm_mode": "fast schedule + template-pair warm start "
-                     f"{WARM_SCHEDULE} (configs/MFT_warm_cfg.py)",
-    }))
+    emit(out)  # headline is safe from this point on
+
+    def room_for(estimate_s):
+        return time.perf_counter() - t_start + estimate_s < budget_s
+
+    # secondary modes: each compiles a different graph, so estimate its cost
+    # as the parity mode's full cost (compile included) — conservative when
+    # the persistent cache is warm, about right when it is cold.
+    if room_for(parity_cost):
+        t0 = time.perf_counter()
+        fast_fps = measure(make_tracker(FAST_SCHEDULE, FAST_RAFT_OVERRIDES),
+                           frames, n_warm, chunk, n_chunks)
+        fast_cost = time.perf_counter() - t0
+        out["fast_fps"] = round(fast_fps, 2)
+        out["fast_mode"] = ("per-delta GRU iteration schedule "
+                           f"{FAST_SCHEDULE} (configs/MFT_fast_cfg.py)")
+        emit(out)
+        if room_for(fast_cost):
+            warm_fps = measure(
+                make_tracker(WARM_SCHEDULE, FAST_RAFT_OVERRIDES,
+                             warm_start=True),
+                frames, n_warm, chunk, n_chunks)
+            out["warm_fps"] = round(warm_fps, 2)
+            out["warm_mode"] = ("fast schedule + template-pair warm start "
+                               f"{WARM_SCHEDULE} (configs/MFT_warm_cfg.py)")
+            emit(out)
+        else:
+            out["skipped"] = "warm (budget)"
+            emit(out)
+    else:
+        out["skipped"] = "fast,warm (budget)"
+        emit(out)
     return 0
 
 

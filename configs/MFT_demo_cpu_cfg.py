@@ -21,7 +21,9 @@ def get_config():
     flow = Config()
     flow.of_class = RAFTFlow
     flow.raft_params = {"occlusion_module": "separate_with_uncertainty",
-                        "small": False}
+                        "small": False,
+                        # explicit: CPU demo stays on the f32 exact path
+                        "compute_dtype": "float32"}
     flow.model = None  # random init unless a checkpoint is supplied
     flow.flow_iters = 4
     flow.name = "raftou_demo_cpu"

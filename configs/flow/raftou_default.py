@@ -18,6 +18,13 @@ def get_config():
     conf.raft_params = {
         "occlusion_module": "separate_with_uncertainty",
         "small": False,
+        # Production numerics made EXPLICIT (not inherited from the 'auto'
+        # default): bf16 on the MXU, covered by the measured drift bound
+        # (docs/PERFORMANCE.md, tools/tpu_drift.py — single-step EPE mean
+        # < 0.25 px, eval-occlusion flips < 2 % at any chain length, gated
+        # by tests/test_tpu_drift.py on TPU). Set "float32" for the exact
+        # reference-parity path at ~2x the conv cost.
+        "compute_dtype": "bfloat16",
     }
     conf.model = "checkpoints/raftou_kubric.msgpack"
     conf.flow_iters = 12

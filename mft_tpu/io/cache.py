@@ -61,6 +61,17 @@ class FlowCache:
         self.misses += 1
         return None
 
+    def contains(self, left_id, right_id):
+        """Existence-only probe: True if ``read`` would hit, without paying
+        the disk-tier decompress / RAM promotion a real read does. Used by
+        ``track_chunk`` to decide per-frame fallback without double-reading
+        every entry (the fallback path re-reads them for real)."""
+        key = (int(left_id), int(right_id))
+        if key in self.device_cache or key in self.ram_cache:
+            return True
+        path = self._path(key)
+        return path is not None and path.exists()
+
     def write(self, left_id, right_id, flow, occlusion, sigma):
         key = (int(left_id), int(right_id))
         value = (flow, occlusion, sigma)

@@ -366,7 +366,7 @@ class RAFT(nn.Module):
 
         flow_preds, occl_preds, unc_preds = [], [], []
         flow_up = occl_up = uncertainty_up = None
-        fuse = self._fused_lookup_on(lookup_method)
+        fuse = self._fused_lookup_on(lookup_method, test_mode)
         for itr in range(iters):
             coords1 = jax.lax.stop_gradient(coords1)
             is_last = itr == iters - 1
@@ -452,15 +452,20 @@ class RAFT(nn.Module):
         outputs["coords"] = coords1 - coords0
         return outputs
 
-    def _fused_lookup_on(self, lookup_method: str) -> bool:
+    def _fused_lookup_on(self, lookup_method: str,
+                         test_mode: bool = True) -> bool:
         """True when the lookup→convc1 fused epilogue applies.
 
-        Inference-only (the fused kernel has no VJP), big model only, and
-        only for the plain-list pyramid layouts the fused kernel consumes.
-        'auto' enables it on TPU.
+        Inference-only — the fused kernel has no VJP, so it is disabled both
+        in train mode AND for test_mode=False calls (an eval-constructed
+        model being differentiated, e.g. test-time adaptation, must route
+        through the unfused lookup whose custom VJP exists). Big model only,
+        and only for the plain-list pyramid layouts the fused kernel
+        consumes. 'auto' enables it on TPU.
         """
         cfg = self.cfg
-        if cfg.fuse_lookup == "off" or self.train_mode or cfg.small:
+        if (cfg.fuse_lookup == "off" or self.train_mode or not test_mode
+                or cfg.small):
             return False
         if lookup_method not in ("auto", "pallas"):
             return False

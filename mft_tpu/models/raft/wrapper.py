@@ -69,6 +69,10 @@ def raft_params_from_config(raft_kwargs) -> RAFTParams:
         # a config omitting compute_dtype gets the MXU-native precision the
         # measured drift bound covers (docs/PERFORMANCE.md), while CPU runs
         # (tests, demo) keep f32. Set 'float32' explicitly for the exact path.
+        # Shipped configs set compute_dtype EXPLICITLY (configs/flow/
+        # raftou_default.py) so production numerics are a per-config choice;
+        # the TPU-side regression gate for the auto/bf16 path is
+        # tests/test_tpu_drift.py (tpu-marked, asserts the drift bound).
         compute_dtype=str(get("compute_dtype", "auto")),
         conv_backend=str(get("conv_backend", "auto")),
         fuse_lookup=str(get("fuse_lookup", "auto")),

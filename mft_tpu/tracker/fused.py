@@ -28,6 +28,13 @@ def _select_n(arr, best):
     pixel is 1.0, so the sum is bit-exact selection. Measured on the v5e
     (tools/select_bench.py, N=7 @ 512^2, 3 payloads): onehot 0.80 ms vs
     where-chain 0.98 ms vs XLA take_along_axis gather 6.76 ms.
+
+    Assumes FINITE candidate maps: 0 * NaN = NaN, so a non-finite value in
+    a LOSING candidate would contaminate the winner (a where-chain would
+    not). Chained flow/occl/sigma are finite by construction here — the
+    chain clamps sample coords in-bounds and the model heads are bounded —
+    so the contraction is safe; if a divergent model must be tolerated,
+    nan_to_num the inputs before selection.
     """
     N = arr.shape[0]
     oh = (best[None] == jnp.arange(N, dtype=best.dtype)[:, None, None])

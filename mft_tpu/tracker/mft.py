@@ -621,10 +621,13 @@ class MFT:
         cands_k = [self._candidates(t) for t in ts]
         write_cache = self.flow_cache is not None
         if write_cache:
-            for ck, t in zip(cands_k, ts):
-                hits, _ = self._read_cache_hits(ck, t)
-                if hits:
-                    return [self.track(im, **kwargs) for im in imgs]
+            # existence-only probe: a real read here would decompress and
+            # promote RAM/disk hits whose payloads the per-frame fallback
+            # then re-reads anyway (every warm-pass entry paid twice)
+            if any(self.flow_cache.contains(c.left_id, t)
+                   for ck, t in zip(cands_k, ts)
+                   for c in ck if c.valid and c.cacheable):
+                return [self.track(im, **kwargs) for im in imgs]
         key = tuple((tuple(c.slot for c in ck), tuple(c.valid for c in ck),
                      t % self.ring) for ck, t in zip(cands_k, ts))
         cache = getattr(self, "_idx_cache", None)

@@ -88,6 +88,21 @@ def test_flow_cache_tiers(tmp_path, rng):
     assert cache.read(99, 100) is None
 
 
+def test_flow_cache_contains_probe(tmp_path, rng):
+    """contains() sees every tier without reading/promoting anything."""
+    cache = FlowCache(tmp_path / "cache", max_ram_mb=0.02, max_device_mb=0)
+    flow, occl, sigma = make_fou(rng, H=16, W=16)
+    for i in range(12):  # spills beyond RAM to disk (tier test above)
+        cache.write(i, i + 1, flow + i, occl, sigma)
+    ram_before = dict(cache.ram_cache)
+    for i in range(12):
+        assert cache.contains(i, i + 1)
+    assert not cache.contains(99, 100)
+    # the probe must not have promoted disk entries into RAM
+    assert list(cache.ram_cache) == list(ram_before)
+    assert cache.hits == 0 and cache.misses == 0
+
+
 def test_flow_cache_backup_and_reload(tmp_path, rng):
     flow, occl, sigma = make_fou(rng, H=8, W=8)
     c1 = FlowCache(tmp_path / "c", max_ram_mb=10)
