@@ -88,7 +88,18 @@ class StreamingTracker:
         return FlowOU(jnp.zeros((C, H, W, 2)), jnp.zeros((C, H, W)),
                       jnp.zeros((C, H, W)))
 
-    def track(self, frames):
+    def track(self, frames, injected=None):
+        """One lockstep timestep over all clips.
+
+        ``injected`` optionally maps candidate-pair index -> per-clip hit
+        triple ((C,H,W,2) flow, (C,H,W) occl, (C,H,W) sigma) — the streaming
+        counterpart of the single-clip tracker's FlowCache injection
+        (tracker/mft.py _get_fused_frame_inject, reference MFT.py:189-230):
+        hit pairs skip RAFT, only the remaining pairs (typically just
+        delta=inf) are computed, and chaining/selection run over the full
+        candidate set. Hit rows sharded over the mesh 'data' axis stay
+        sharded through the step.
+        """
         self.current_frame_i += 1
         t = self.current_frame_i
         imgs = self._put(self._to_device(np.asarray(frames)))  # (C, H, W, 3)
@@ -102,7 +113,22 @@ class StreamingTracker:
             if pv not in self._pslot_cache:
                 self._pslot_cache[pv] = jnp.int32(pv)
             pslot = self._pslot_cache[pv]
-        if self._use_features():
+        if injected:
+            if not self._use_features():
+                raise NotImplementedError(
+                    "streaming injection requires the feature-ring step")
+            inj_idx = tuple(sorted(injected))
+            compute_idx = tuple(i for i, c in enumerate(cands)
+                                if c.valid and i not in injected)
+            inj_rows = tuple(injected[i] for i in inj_idx)
+            step = self._get_step_inject(compute_idx, inj_idx)
+            (self.mem_imgs, self.mem_flow, self.mem_occl, self.mem_sigma,
+             self.mem_fmap, self.mem_cnet,
+             result) = step(self.mem_imgs, self.mem_flow, self.mem_occl,
+                            self.mem_sigma, self.mem_fmap, self.mem_cnet,
+                            imgs, slots, valid, wslot, inj_rows, pslot,
+                            self.flower.variables)
+        elif self._use_features():
             step = self._get_step()
             (self.mem_imgs, self.mem_flow, self.mem_occl, self.mem_sigma,
              self.mem_fmap, self.mem_cnet,
@@ -120,6 +146,23 @@ class StreamingTracker:
 
     def _use_features(self):
         return hasattr(self.flower.model, "encode")
+
+    @staticmethod
+    def _per_clip_chain(occl_thresh):
+        """Single-clip chain+select+ring-update body, vmapped over clips."""
+        def per_clip(mem_imgs, mem_flow, mem_occl, mem_sigma, img,
+                     flows, occls, sigmas, slots, valid, wslot):
+            left = FlowOU(jnp.take(mem_flow, slots, axis=0),
+                          jnp.take(mem_occl, slots, axis=0),
+                          jnp.take(mem_sigma, slots, axis=0))
+            right = FlowOU(flows, occls, sigmas)
+            result = chain_select(left, right, valid, occl_thresh)
+            mem_imgs = mem_imgs.at[wslot].set(img)
+            mem_flow = mem_flow.at[wslot].set(result.flow)
+            mem_occl = mem_occl.at[wslot].set(result.occlusion)
+            mem_sigma = mem_sigma.at[wslot].set(result.sigma)
+            return mem_imgs, mem_flow, mem_occl, mem_sigma, result
+        return per_clip
 
     def _get_encode(self):
         if getattr(self, "_enc", None) is None:
@@ -147,19 +190,7 @@ class StreamingTracker:
         # starts from that clip's previous selected flow
         warm = self._warm
         inf_idx = self._single._inf_idx
-
-        def per_clip(mem_imgs, mem_flow, mem_occl, mem_sigma, img,
-                     flows, occls, sigmas, slots, valid, wslot):
-            left = FlowOU(jnp.take(mem_flow, slots, axis=0),
-                          jnp.take(mem_occl, slots, axis=0),
-                          jnp.take(mem_sigma, slots, axis=0))
-            right = FlowOU(flows, occls, sigmas)
-            result = chain_select(left, right, valid, occl_thresh)
-            mem_imgs = mem_imgs.at[wslot].set(img)
-            mem_flow = mem_flow.at[wslot].set(result.flow)
-            mem_occl = mem_occl.at[wslot].set(result.occlusion)
-            mem_sigma = mem_sigma.at[wslot].set(result.sigma)
-            return mem_imgs, mem_flow, mem_occl, mem_sigma, result
+        per_clip = self._per_clip_chain(occl_thresh)
 
         def step(mem_imgs, mem_flow, mem_occl, mem_sigma, mem_fmap, mem_cnet,
                  imgs, slots, valid, wslot, pslot, variables):
@@ -202,6 +233,93 @@ class StreamingTracker:
         self._step = jax.jit(step, donate_argnums=(0, 1, 2, 3, 4, 5))
         return self._step
 
+    def _get_step_inject(self, compute_idx, inj_idx):
+        """Streaming step with cache-hit injection (static index signature).
+
+        Multi-clip analog of MFT._get_fused_frame_inject: pairs in
+        ``inj_idx`` arrive as per-clip row triples, pairs in ``compute_idx``
+        run through RAFT (K*C-pair batch), everything else is an invalid
+        candidate and gets in-graph zeros. One jitted SPMD dispatch per
+        frame; injected rows keep their clip-axis sharding.
+        """
+        key = ("inject", compute_idx, inj_idx)
+        cache = getattr(self, "_inject_cache", None)
+        if cache is None:
+            cache = self._inject_cache = {}
+        if key in cache:
+            return cache[key]
+        occl_thresh = float(cfg_value(self.C.occlusion_threshold, 0.02))
+        n_delta = len(self.deltas)
+        model = self.flower.model
+        iters = self.flower.iters
+        sched = MFT._iters_schedule(self._single)
+        K = len(compute_idx)
+        if sched is not None and K:
+            iters = tuple(sched[i] for i in compute_idx) * self.n_clips
+        warm = self._warm and self._single._inf_idx in compute_idx
+        inf_pos = (compute_idx.index(self._single._inf_idx)
+                   if warm else None)
+        idx = jnp.asarray(compute_idx, jnp.int32) if K else None
+        pos = {j: p for p, j in enumerate(inj_idx)}
+        per_clip = self._per_clip_chain(occl_thresh)
+
+        def step(mem_imgs, mem_flow, mem_occl, mem_sigma, mem_fmap, mem_cnet,
+                 imgs, slots, valid, wslot, inj_rows, pslot, variables):
+            C = imgs.shape[0]
+            x = 2.0 * (imgs.astype(jnp.float32) / 255.0) - 1.0
+            f_new, c_new = model.apply(
+                variables, x,
+                method=lambda m, im: m.encode(im, normalise_input=False))
+            H, W = mem_flow.shape[2:4]
+            zf = jnp.zeros((C, H, W, 2), jnp.float32)
+            zs = jnp.zeros((C, H, W), jnp.float32)
+            # (N, C, ...) stacks: injected rows pass through, computed rows
+            # scatter in below; stacking happens in-graph (one dispatch)
+            flows = jnp.stack([jnp.asarray(inj_rows[pos[i]][0], jnp.float32)
+                               if i in pos else zf for i in range(n_delta)])
+            occls = jnp.stack([jnp.asarray(inj_rows[pos[i]][1], jnp.float32)
+                               if i in pos else zs for i in range(n_delta)])
+            sigmas = jnp.stack([jnp.asarray(inj_rows[pos[i]][2], jnp.float32)
+                                if i in pos else zs for i in range(n_delta)])
+            if K:
+                csl = jnp.take(slots, idx)
+                fmap1 = jax.vmap(lambda m: jnp.take(m, csl, axis=0))(mem_fmap)
+                cnet1 = jax.vmap(lambda m: jnp.take(m, csl, axis=0))(mem_cnet)
+                fmap2 = jnp.broadcast_to(f_new[:, None], fmap1.shape)
+                flat = lambda z: z.reshape(C * K, *z.shape[2:])
+                flow_init = None
+                if warm:
+                    from mft_tpu.models.raft.upsample import downsample_flow8
+                    prev8 = downsample_flow8(mem_flow[:, pslot])
+                    flow_init = flat(jnp.zeros((C, K, *prev8.shape[1:]),
+                                               jnp.float32
+                                               ).at[:, inf_pos].set(prev8))
+                out = model.apply(
+                    variables, flat(fmap1), flat(fmap2), flat(cnet1),
+                    method=lambda m, a, b, c: m.flow_from_features(
+                        a, b, c, iters=iters, flow_init=flow_init,
+                        test_mode=True))
+                h, w = out["flow"].shape[1:3]
+                cf = out["flow"].reshape(C, K, h, w, 2)
+                co = jax.nn.softmax(out["occlusion"], axis=-1)[..., 1
+                                                               ].reshape(C, K, h, w)
+                cs = jnp.sqrt(jnp.exp(out["uncertainty"][..., 0])).reshape(
+                    C, K, h, w)
+                flows = flows.at[idx].set(jnp.moveaxis(cf, 0, 1))
+                occls = occls.at[idx].set(jnp.moveaxis(co, 0, 1))
+                sigmas = sigmas.at[idx].set(jnp.moveaxis(cs, 0, 1))
+            (mem_imgs, mem_flow, mem_occl, mem_sigma, result) = jax.vmap(
+                per_clip, in_axes=(0, 0, 0, 0, 0, 1, 1, 1, None, None, None))(
+                mem_imgs, mem_flow, mem_occl, mem_sigma, imgs,
+                flows, occls, sigmas, slots, valid, wslot)
+            mem_fmap = mem_fmap.at[:, wslot].set(f_new)
+            mem_cnet = mem_cnet.at[:, wslot].set(c_new)
+            return (mem_imgs, mem_flow, mem_occl, mem_sigma,
+                    mem_fmap, mem_cnet, result)
+
+        cache[key] = jax.jit(step, donate_argnums=(0, 1, 2, 3, 4, 5))
+        return cache[key]
+
     def _get_step_images(self):
         """Image-based step (no feature ring) for flow backends without an
         ``encode`` method (e.g. test fakes): full pair-batched forward."""
@@ -220,19 +338,7 @@ class StreamingTracker:
         n_delta = len(self.deltas)
         model = self.flower.model
         iters = self.flower.iters
-
-        def per_clip(mem_imgs, mem_flow, mem_occl, mem_sigma, img,
-                     flows, occls, sigmas, slots, valid, wslot):
-            left = FlowOU(jnp.take(mem_flow, slots, axis=0),
-                          jnp.take(mem_occl, slots, axis=0),
-                          jnp.take(mem_sigma, slots, axis=0))
-            right = FlowOU(flows, occls, sigmas)
-            result = chain_select(left, right, valid, occl_thresh)
-            mem_imgs = mem_imgs.at[wslot].set(img)
-            mem_flow = mem_flow.at[wslot].set(result.flow)
-            mem_occl = mem_occl.at[wslot].set(result.occlusion)
-            mem_sigma = mem_sigma.at[wslot].set(result.sigma)
-            return mem_imgs, mem_flow, mem_occl, mem_sigma, result
+        per_clip = self._per_clip_chain(occl_thresh)
 
         def step(mem_imgs, mem_flow, mem_occl, mem_sigma, imgs, slots, valid,
                  wslot, variables):

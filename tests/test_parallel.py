@@ -156,6 +156,66 @@ def test_streaming_schedule_matches_single_tracker():
                                np.asarray(meta.result.flow), atol=1e-3)
 
 
+def test_streaming_inject_matches_single_tracker_cache_path(tmp_path):
+    """Streaming injection (cache-hit rows, RAFT only for misses) must match
+    the single-clip tracker's FlowCache steady state: per clip, a second
+    pass over a warm cache routes finite-delta pairs through injection and
+    both trackers must produce identical chained results."""
+    from mft_tpu.config import Config
+    from mft_tpu.io.cache import FlowCache
+    from mft_tpu.models.raft import RAFTFlow
+    from mft_tpu.parallel.streaming import StreamingTracker
+    from mft_tpu.tracker import MFT
+
+    fc = Config()
+    fc.of_class = RAFTFlow
+    fc.raft_params = {"occlusion_module": "separate_with_uncertainty"}
+    fc.model = None
+    fc.flow_iters = 1
+    cfg = Config()
+    cfg.flow_config = fc
+    cfg.deltas = [np.inf, 1]
+    cfg.occlusion_threshold = 0.02
+
+    rng = np.random.default_rng(3)
+    T, C, H, W = 3, 2, 64, 64
+    clips = rng.integers(0, 255, (T, C, H, W, 3), dtype=np.uint8)
+
+    # pass 1 per clip: single tracker computes + fills its cache; pass 2
+    # replays over the warm cache (the MFT inject path) -> reference metas
+    caches, metas2 = [], []
+    for c in range(C):
+        cache = FlowCache(tmp_path / f"c{c}", max_ram_mb=500, max_device_mb=0)
+        single = MFT(cfg)
+        single.init(clips[0, c], flow_cache=cache)
+        for t in range(1, T):
+            single.track(clips[t, c])
+        # pass 2: every finite pair hits -> MFT inject path
+        single.init(clips[0, c], flow_cache=cache)
+        mm = [single.track(clips[t, c]) for t in range(1, T)]
+        metas2.append(mm)
+        caches.append(cache)
+
+    st = StreamingTracker(cfg, n_clips=C)
+    st.init(clips[0])
+    delta1 = st.deltas.index(1)
+    for t in range(1, T):
+        rows = [caches[c].read(t - 1, t) for c in range(C)]
+        assert all(r is not None for r in rows)
+        injected = {delta1: tuple(
+            np.stack([np.asarray(rows[c][k]) for c in range(C)])
+            for k in range(3))}
+        res = st.track(clips[t], injected=injected)
+
+    for c in range(C):
+        np.testing.assert_allclose(np.asarray(res.flow[c]),
+                                   np.asarray(metas2[c][-1].result.flow),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(res.sigma[c]),
+                                   np.asarray(metas2[c][-1].result.sigma),
+                                   atol=1e-3)
+
+
 def test_streaming_warm_start_matches_single_tracker():
     """Template-pair warm starting (C.warm_start_inf) in streaming mode must
     produce the same per-clip results as the single-clip warm tracker: each

@@ -138,6 +138,47 @@ class CachedSynthData:
         self._stop.set()
 
 
+class PrefetchBatches:
+    """Producer thread over ``next_batch`` (depth-2 queue).
+
+    The container has ONE host CPU and batch assembly costs ~0.5-1 s
+    (crops/flips/photometric over 8 samples plus touching 3 GB of shard
+    RAM); running it synchronously left the TPU idle 40-80 % of each step
+    (measured 0.7 steps/s). The producer overlaps assembly with the device
+    step; depth 2 is enough since there is only one producer core anyway.
+    """
+
+    def __init__(self, stream, depth=2):
+        import queue
+        self.stream = stream
+        self.q = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._th = threading.Thread(target=self._produce, daemon=True)
+        self._th.start()
+
+    def _produce(self):
+        while not self._stop.is_set():
+            batch = self.stream.next_batch()
+            while not self._stop.is_set():
+                try:
+                    self.q.put(batch, timeout=0.5)
+                    break
+                except Exception:
+                    continue
+
+    def next_batch(self):
+        return self.q.get()
+
+    def close(self):
+        self._stop.set()
+        try:  # unblock a producer waiting on a full queue
+            while True:
+                self.q.get_nowait()
+        except Exception:
+            pass
+        self.stream.close()
+
+
 def fixed_val_batch(H, W, n=8, seed=99):
     """Deterministic held-out batch (one pair per scene, varied deltas)."""
     from mft_tpu.train.synth import sample_pair
@@ -234,8 +275,9 @@ def main():
                     val_px3=float((epe[nonocc] < 3).mean()),
                     val_occ_acc=occ_acc, val_sigma_epe_corr=corr)
 
-    stream = CachedSynthData(args.data, (H, W), args.batch)
-    logger.info("dataset: %d scenes from %s", len(stream.scenes), args.data)
+    data = CachedSynthData(args.data, (H, W), args.batch)
+    logger.info("dataset: %d scenes from %s", len(data.scenes), args.data)
+    stream = PrefetchBatches(data)
 
     stop_flag = {"stop": False}
 
