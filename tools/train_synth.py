@@ -100,13 +100,22 @@ class CachedSynthData:
                             n, len(self.scenes))
 
     def next_batch(self):
+        """Compact-dtype batch: uint8 images, f16 flow, uint8 valid/occl.
+
+        The batch reaches the TPU through a remote tunnel where upload
+        bytes dominate the step (measured: f32 batches 1.77 s/step vs
+        compact 0.38 s/step at identical math — the trainer casts to f32
+        on device). uint8 images lose nothing (sources are uint8, the
+        photometric jitter's sub-LSB precision is noise by construction);
+        f16 flow matches the shards' storage precision.
+        """
         rng = self.rng
         with self._lock:
             n_scenes = len(self.scenes)
-        img1 = np.empty((self.B, self.ch, self.cw, 3), np.float32)
-        img2 = np.empty((self.B, self.ch, self.cw, 3), np.float32)
-        flow = np.empty((self.B, self.ch, self.cw, 2), np.float32)
-        occl = np.empty((self.B, self.ch, self.cw), np.float32)
+        img1 = np.empty((self.B, self.ch, self.cw, 3), np.uint8)
+        img2 = np.empty((self.B, self.ch, self.cw, 3), np.uint8)
+        flow = np.empty((self.B, self.ch, self.cw, 2), np.float16)
+        occl = np.empty((self.B, self.ch, self.cw), np.uint8)
         for i in range(self.B):
             sc = self.scenes[int(rng.integers(n_scenes))]
             T1 = sc["imgs"].shape[0]
@@ -129,9 +138,11 @@ class CachedSynthData:
             bias = rng.uniform(-25, 25)
             cgain = rng.uniform(0.92, 1.08, size=(3,)).astype(np.float32)
             for dst, src in ((img1, a), (img2, b)):
-                dst[i] = np.clip(src * (gain * cgain) + bias, 0, 255)
-            flow[i], occl[i] = f, o
-        valid = np.ones((self.B, self.ch, self.cw), np.float32)
+                dst[i] = np.clip(src * (gain * cgain) + bias, 0, 255
+                                 ).astype(np.uint8)
+            flow[i] = f.astype(np.float16)
+            occl[i] = (o > 0.5).astype(np.uint8)
+        valid = np.ones((self.B, self.ch, self.cw), np.uint8)
         return img1, img2, flow, valid, occl
 
     def close(self):
@@ -294,22 +305,33 @@ def main():
         os.replace(tmp, args.export)
         logger.info("exported weights to %s", args.export)
 
+    def to_f32(b):  # on-device cast: the tunnel ships compact dtypes
+        return tuple(x.astype(jnp.float32) for x in b)
+
     t_log = time.time()
     data_wait = 0.0
     step = int(state["step"])
     pend = []  # device-side metric handles; only synced at log boundaries so
     # the host generates the next batch while the TPU runs the current step
+    nxt = tuple(jnp.asarray(b) for b in stream.next_batch())
     while step < args.steps and not stop_flag["stop"]:
+        cur = nxt
         t0 = time.time()
         batch_np = stream.next_batch()
         data_wait += time.time() - t0
-        batch = tuple(jnp.asarray(b) for b in batch_np)
-        state, metrics = step_fn(state, batch)
+        # issue batch t+1's upload BEFORE dispatching step t: through the
+        # remote tunnel a transfer behind a busy queue stalls the pipeline
+        nxt = tuple(jnp.asarray(b) for b in batch_np)
+        state, metrics = step_fn(state, to_f32(cur))
         step += 1
         pend.append(metrics)
         if step % args.log_every == 0:
-            losses = np.array([float(m["train/loss"]) for m in pend])
-            epes = np.array([float(m["train/epe"]) for m in pend])
+            # ONE device fetch for the whole window (a blocking scalar fetch
+            # through the tunnel costs ~43 ms; 2 x log_every of them cost
+            # more than the steps themselves)
+            vals = np.asarray(jnp.stack([
+                jnp.stack((m["train/loss"], m["train/epe"])) for m in pend]))
+            losses, epes = vals[:, 0], vals[:, 1]
             dt = time.time() - t_log
             logger.info(
                 "step %6d  loss %.4f  epe %.3f  lr %.2e  %.2f steps/s"
