@@ -150,6 +150,88 @@ def _emit_norm(params, batch_stats, path, leaf, value, norm_fn):
         raise KeyError(f"norm leaf {leaf}")
 
 
+def variables_to_torch_statedict(variables, template_state_dict,
+                                 norm_fns=None):
+    """Inverse conversion: flax variables -> torch state dict values.
+
+    ``template_state_dict`` supplies the torch key set and shapes (e.g. the
+    state dict of a freshly constructed reference model, or any reference
+    .pth). The mapping torch-key -> flax-path is DERIVED from the forward
+    converter itself: each template tensor is replaced by an array filled
+    with its key's ordinal, run through ``torch_statedict_to_variables``
+    (constant arrays are invariant under the kernel transpose), and the
+    resulting leaves are read back — so the two directions can never drift
+    apart. Used to hand trained flax weights to the reference torch
+    pipeline (tools/tapvid_parity.py with --model).
+    """
+    ids_keys = []
+    tagged = {}
+    for k, v in template_state_dict.items():
+        kk = re.sub(r"^module\.", "", k)
+        if kk.endswith("num_batches_tracked"):
+            continue
+        tagged[k] = np.full(np.shape(_to_numpy(v)), float(len(ids_keys)),
+                            np.float64)
+        ids_keys.append(k)
+    mapped = torch_statedict_to_variables(tagged, norm_fns=norm_fns)
+
+    loc = {}
+
+    def walk(tree, col, path):
+        for name, node in tree.items():
+            if isinstance(node, dict):
+                walk(node, col, path + [name])
+            else:
+                loc[ids_keys[int(np.asarray(node).flat[0])]] = (
+                    col, path + [name])
+
+    walk(mapped["params"], "params", [])
+    if "batch_stats" in mapped:
+        walk(mapped["batch_stats"], "batch_stats", [])
+
+    out = {}
+    for k, v in template_state_dict.items():
+        kk = re.sub(r"^module\.", "", k)
+        if kk.endswith("num_batches_tracked"):
+            out[k] = _to_numpy(v)
+            continue
+        if k not in loc and ".norm3." in k:
+            # torch registers the downsample norm twice (self.norm3 AND
+            # downsample[1] are the same module); the forward converter
+            # reads the downsample.1 copy. Stride-1 blocks carry an UNUSED
+            # norm3 — keep its template value (never read by the forward).
+            alias = k.replace(".norm3.", ".downsample.1.")
+            if alias in loc:
+                loc[k] = loc[alias]
+            else:
+                out[k] = _to_numpy(v)
+                continue
+        col, path = loc[k]
+        node = variables[col]
+        for p in path:
+            node = node[p]
+        arr = np.asarray(node)
+        if path[-1] == "kernel" and arr.ndim == 4:
+            arr = np.transpose(arr, (3, 2, 0, 1))  # HWIO -> OIHW
+        if arr.shape != tuple(np.shape(_to_numpy(v))):
+            raise ValueError(f"shape mismatch for {k}: flax {arr.shape} "
+                             f"vs template {np.shape(_to_numpy(v))}")
+        out[k] = arr
+    return out
+
+
+def export_torch_checkpoint(variables, template_pth, out_pth, norm_fns=None):
+    """Write flax variables as a reference-style .pth (requires torch)."""
+    import torch
+    template = torch.load(template_pth, map_location="cpu",
+                          weights_only=True)
+    sd = variables_to_torch_statedict(variables, template, norm_fns=norm_fns)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(
+        np.asarray(v, np.float32))) if np.asarray(v).dtype.kind == "f"
+        else torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, out_pth)
+    return out_pth
+
+
 def load_torch_checkpoint(path, norm_fns=None):
     """Load a .pth checkpoint file into flax variables (requires torch)."""
     import torch

@@ -143,6 +143,39 @@ def test_convex_upsample_multi_matches_single(rng):
         np.testing.assert_allclose(np.asarray(m), np.asarray(s), atol=1e-5)
 
 
+def test_convert_inverse_roundtrip(rng):
+    """flax -> torch statedict -> flax must reproduce the variables exactly
+    (the inverse converter derives its mapping from the forward one, so
+    this closes the loop for handing trained flax weights to the reference
+    torch pipeline)."""
+    from mft_tpu.models.raft.convert import variables_to_torch_statedict
+
+    tm = make_torch_model(seed=5)
+    template = tm.state_dict()
+    variables = torch_statedict_to_variables(template)
+    # perturb so we don't accidentally pass by comparing against template
+    variables = jax.tree.map(
+        lambda v: np.asarray(v) + rng.standard_normal(np.shape(v)).astype(
+            np.float32) * 0.01, variables)
+
+    sd = variables_to_torch_statedict(variables, template)
+    assert set(sd) == set(template)
+    back = torch_statedict_to_variables(sd)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(variables)
+    flat_b = jax.tree_util.tree_leaves_with_path(back)
+    assert len(flat_a) == len(flat_b) > 100
+    for (pa, va), (pb, vb) in zip(flat_a, flat_b):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+    # and torch must accept it as a full state dict
+    tm.load_state_dict({k: torch.from_numpy(np.asarray(v, np.float32))
+                        if np.asarray(v).dtype.kind == "f"
+                        else torch.from_numpy(np.asarray(v))
+                        for k, v in sd.items()})
+
+
 def test_convert_cli_round_trip(tmp_path):
     """The convert CLI (tools/download_models.sh flow) writes a msgpack that
     restores to the exact converted variables."""

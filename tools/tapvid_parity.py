@@ -413,23 +413,58 @@ def compare(ref, ours):
     return "\n".join(lines), worst
 
 
+def export_flax_weights(path, msgpack_path):
+    """Write flax msgpack weights as a reference-style .pth (both pipelines
+    then load the identical checkpoint; tools/train_synth.py provenance)."""
+    import torch
+    from flax import serialization
+    from mft_tpu.models.raft.convert import variables_to_torch_statedict
+    sys.path.insert(0, REF) if REF not in sys.path else None
+    from MFT.RAFT.core.raft import RAFT as TorchRAFT
+
+    class _Args(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError:
+                raise AttributeError(k)
+
+    template = TorchRAFT(_Args(occlusion_module="separate_with_uncertainty",
+                               small=False,
+                               mixed_precision=False)).state_dict()
+    raw = Path(msgpack_path).read_bytes()
+    variables = serialization.msgpack_restore(raw)
+    sd = variables_to_torch_statedict(variables, template)
+    # the reference loads through a DataParallel wrapper (MFT/raft.py:20-23)
+    torch.save({"module." + k: torch.from_numpy(np.ascontiguousarray(
+        np.asarray(v, np.float32) if np.asarray(v).dtype.kind == "f"
+        else np.asarray(v))) for k, v in sd.items()}, path)
+    return path
+
+
 def run_parity(workdir, T=6, H=128, W=128, n_tracks=8, finite_deltas=(1, 2),
                iters=4, scaling=None, seed=0, occl_gain=1.0,
-               occluded_gt=False, trained_like=False):
+               occluded_gt=False, trained_like=False, model=None):
     workdir = Path(workdir)
     workdir.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
     scaling = scaling or f"{W}x{H}"
     pkl = make_textured_pickle(workdir / "synth.pkl", rng, T=T, H=H, W=W,
                                n_tracks=n_tracks, occluded_gt=occluded_gt)
-    calib = None
-    if occl_gain != 1.0:
-        with open(pkl, "rb") as f:
-            video = pickle.load(f)["seq0"]["video"]
-        calib = (video[0], video[min(2, T - 1)])
-    ckpt = make_shared_weights(workdir / "weights.pth", seed=seed,
-                               occl_gain=occl_gain, calib_frames=calib,
-                               trained_like=trained_like)
+    if model is not None:
+        # REAL (trained) flax weights: export them as a reference-style .pth
+        # so BOTH pipelines load the identical checkpoint — no gain/calib
+        # tricks needed, a trained occlusion head separates on its own
+        ckpt = export_flax_weights(workdir / "weights.pth", model)
+    else:
+        calib = None
+        if occl_gain != 1.0:
+            with open(pkl, "rb") as f:
+                video = pickle.load(f)["seq0"]["video"]
+            calib = (video[0], video[min(2, T - 1)])
+        ckpt = make_shared_weights(workdir / "weights.pth", seed=seed,
+                                   occl_gain=occl_gain, calib_frames=calib,
+                                   trained_like=trained_like)
     ref = run_reference_pipeline(workdir / "ref", pkl, ckpt, finite_deltas,
                                  iters, scaling)
     ours = run_our_pipeline(workdir / "ours", pkl, ckpt, finite_deltas,
@@ -450,13 +485,17 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--occl-gain", type=float, default=8.0,
                     help="occlusion-head logit gain (see make_shared_weights)")
+    ap.add_argument("--model", default=None,
+                    help="trained flax .msgpack: both pipelines run on these "
+                         "weights (exported to .pth for the reference side); "
+                         "disables the random-init gain/calibration tricks")
     args = ap.parse_args()
     report, worst, _, _ = run_parity(args.workdir, T=args.frames,
                                      H=args.size[0], W=args.size[1],
                                      finite_deltas=tuple(args.deltas),
                                      iters=args.iters,
                                      occl_gain=args.occl_gain,
-                                     occluded_gt=True)
+                                     occluded_gt=True, model=args.model)
     print(report)
     print(f"\nmax |diff| over headline metrics: {worst:.2f} (x100 scale)")
     if args.out:
