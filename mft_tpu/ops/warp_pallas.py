@@ -441,6 +441,9 @@ def bilinear_warp_blocked(maps, coords, ywin: int = 128, xband: int = 128,
         out_specs=pl.BlockSpec((1, tp, C), lambda n, t: (n, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, P, C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(cb, maps2)
 

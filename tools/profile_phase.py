@@ -31,20 +31,29 @@ from pathlib import Path
 
 import numpy as np
 
-# bucket -> regexes matched (first hit wins, in order) against the
-# concatenation of the op's name, category and provenance columns
+# bucket -> regexes matched (first hit wins, in order) against
+# "<category> | <framework op name> | <hlo op name>". Calibrated against
+# the round-5 512x512 parity trace (docs/PERFORMANCE.md phase table):
+# the three pallas custom-call families are distinguished by their
+# framework scopes (fused lookup lives under update_block/encoder because
+# it fuses the motion encoder's convc1).
 BUCKETS = [
-    ("corr lookup (pallas)", r"corr_lookup|fused_lookup|corr-lookup|CorrLookup"),
-    ("corr pyramid build", r"corr_pyramid|CorrBlock|corr_volume|pyramid"),
-    ("encoder (fnet+cnet)", r"fnet|cnet|BasicEncoder|InstanceNorm"),
-    ("update: GRU convs", r"SepConvGRU|ConvGRU|gru"),
-    ("update: motion enc", r"BasicMotionEncoder|convc1|convc2|convf1|convf2"),
-    ("update: flow/mask/OU heads", r"FlowHead|mask|Occlusion|Uncertainty|OU"),
-    ("update block (other)", r"BasicUpdateBlock|update_block"),
-    ("convex upsample", r"upsample|Upsample|unfold"),
-    ("chain + select", r"chain|select|warp|Chain|tent"),
+    ("corr lookup (fused, pallas)",
+     r"custom-call.*update_block/encoder/pallas_call"),
+    ("corr lookup (last iter, pallas)",
+     r"custom-call.*flow_from_features/pallas_call"),
+    ("chain+select warp (pallas)", r"custom-call.*jit\(frame\)/pallas_call"),
+    ("layout copies", r"^data formatting"),
+    ("encoder convs (fnet+cnet)", r"RAFT\.encode.*conv"),
+    ("update: GRU convs", r"gru/conv"),
+    ("update: motion enc convs", r"encoder/conv"),
+    ("update: flow/mask/OU convs",
+     r"flow_head/conv|mask|occlusion_block.*conv"),
+    ("corr pyramid dots", r"bpc,bqc|bpq"),
+    ("convex upsample dots", r"bhwkd,bhwkc"),
+    ("other convolution", r"conv_general_dilated|convolution"),
     ("ring gather/update", r"dynamic-update-slice|dynamic_update_slice|"
-     r"dynamic-slice|dynamic_slice|gather|scatter|take"),
+     r"dynamic-slice|dynamic_slice|gather|scatter"),
     ("host transfer", r"infeed|outfeed|copy-start|copy-done|transfer"),
 ]
 
@@ -147,10 +156,10 @@ def bucketize(rows, n_frames):
         t = float(t or 0)
         if t <= 0:
             continue
-        name = " ".join(str(col(row, k) or "") for k in
-                        ("hlo_op_name", "op_name", "name", "hlo_op_expression",
-                         "category", "type", "framework_op_name", "program_id",
-                         "provenance", "op_expression"))
+        name = " | ".join(str(col(row, k) or "") for k in
+                          ("hlo_op_category", "category",
+                           "framework_op_name", "hlo_op_name", "op_name",
+                           "hlo_op_text", "op_expression"))
         onchip = col(row, "on_the_device", "device") or True
         total_us += t
         top.append((t, name.strip()[:200]))
