@@ -93,4 +93,8 @@ def main():
 
 
 if __name__ == "__main__":
+    # NOT via PYTHONPATH: /root/repo on PYTHONPATH shadows a module
+    # the remote-TPU plugin imports at jax-init time and the backend
+    # fails to register; a late sys.path insert is safe
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
     sys.exit(main())

@@ -499,15 +499,25 @@ def main():
     print(report)
     print(f"\nmax |diff| over headline metrics: {worst:.2f} (x100 scale)")
     if args.out:
+        if args.model:
+            wline = (f"TAP-Vid-DAVIS pickle with TRAINED weights "
+                     f"({args.model},\nexported to a reference-style .pth "
+                     "so both sides load the identical\ncheckpoint — "
+                     "docs/TRAINING.md provenance). Metrics sit at a real\n"
+                     "operating point; no gain/calibration tricks.\n")
+        else:
+            wline = ("TAP-Vid-DAVIS pickle with shared random-init RAFT-OU "
+                     "weights\n(see tools/tapvid_parity.py). GT occlusion "
+                     "spans and an\nocclusion-head logit gain keep predicted "
+                     "visibility VARIED, so\nAJ / OA / jaccard TP-FP-FN and "
+                     "the 0.5 binarization are compared\nat non-degenerate "
+                     "values.\n")
         header = (
             "# TAP-Vid metric parity: reference (torch, CPU) vs mft-tpu\n\n"
             "Both full pipelines (runner -> evaluator) on the same synthetic\n"
-            "TAP-Vid-DAVIS pickle with shared random-init RAFT-OU weights\n"
-            "(see tools/tapvid_parity.py; regression-tested by\n"
-            "tests/test_tapvid_metric_parity.py). GT occlusion spans and an\n"
-            "occlusion-head logit gain keep predicted visibility VARIED, so\n"
-            "AJ / OA / jaccard TP-FP-FN and the 0.5 binarization are compared\n"
-            f"at non-degenerate values. Full delta set [inf]+{args.deltas},\n"
+            + wline +
+            "Regression-tested by tests/test_tapvid_metric_parity.py.\n"
+            f"Full delta set [inf]+{args.deltas}, "
             f"{args.frames} frames, {args.iters} RAFT iterations.\n\n")
         Path(args.out).write_text(header + report +
                                   f"\n\nmax |diff|: {worst:.2f} (x100)\n")
