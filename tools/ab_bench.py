@@ -93,8 +93,9 @@ def main():
 
 
 if __name__ == "__main__":
-    # NOT via PYTHONPATH: /root/repo on PYTHONPATH shadows a module
-    # the remote-TPU plugin imports at jax-init time and the backend
-    # fails to register; a late sys.path insert is safe
+    # NOT via PYTHONPATH: with /root/repo on PYTHONPATH, jax's
+    # jax_plugins namespace-package discovery comes up empty and the
+    # remote-TPU backend fails to register (observed, reproducible);
+    # a late in-process sys.path insert is safe
     sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
     sys.exit(main())

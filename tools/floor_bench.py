@@ -30,7 +30,7 @@ Interpretation key (written into docs/PERFORMANCE.md):
   nothing - ringlike -> real device work left in the stubbed step
                       (ring gathers/updates, index plumbing).
 
-usage: PYTHONPATH=. python tools/floor_bench.py
+usage: python tools/floor_bench.py
 """
 
 import json

@@ -13,7 +13,7 @@ and exact flow (float16, ≤0.1 px quantization at the ~150 px magnitudes the
 generator produces) + occlusion GT. Writes are atomic (tmp+rename) so the
 trainer can rescan the directory while this keeps producing.
 
-Usage: PYTHONPATH=/root/repo nice -n 19 python tools/gen_synth_data.py \
+Usage: nice -n 19 python tools/gen_synth_data.py \
            --out data_synth --count 4000 &
 """
 

@@ -16,7 +16,7 @@ LOWER BOUND on mode fidelity: trained flow converges faster per iteration,
 so re-run this once trained weights exist. Results are recorded in
 docs/PERFORMANCE.md next to the speed numbers.
 
-Usage: PYTHONPATH=/root/repo python tools/mode_cost.py [--frames 12]
+Usage: python tools/mode_cost.py [--frames 12]
 """
 
 import argparse

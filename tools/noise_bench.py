@@ -9,7 +9,7 @@ running measure() with BENCH_CHUNKS chunks and reading the per-chunk
 medians spread.
 
 Usage (chip free, warm .jax_cache):
-    PYTHONPATH=/root/repo python tools/noise_bench.py --runs 8
+    python tools/noise_bench.py --runs 8
 Writes docs-ready lines to stdout; paste into docs/PERFORMANCE.md.
 """
 

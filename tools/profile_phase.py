@@ -12,7 +12,7 @@ so the buckets sum to the measured frame time instead of being differences
 of noisy full-graph runs.
 
 Usage (chip must be free):
-    PYTHONPATH=/root/repo python tools/profile_phase.py [--size 512]
+    python tools/profile_phase.py [--size 512]
         [--frames 8] [--json out.json]
 
 Prints an org-table of ms/frame per bucket + the top individual ops.

@@ -10,7 +10,7 @@ measures what the RUNNER path actually achieves at 512x512, full delta chain:
   (what strided mode / multi-config runs do) — flows come from the cache.
 
 Prints one JSON line. Usage:
-    PYTHONPATH=/root/repo python tools/runner_throughput.py [T] [SIZE]
+    python tools/runner_throughput.py [T] [SIZE]
 """
 
 import json
@@ -79,8 +79,9 @@ def main():
 
 
 if __name__ == "__main__":
-    # NOT via PYTHONPATH: /root/repo on PYTHONPATH shadows a module
-    # the remote-TPU plugin imports at jax-init time and the backend
-    # fails to register; a late sys.path insert is safe
+    # NOT via PYTHONPATH: with /root/repo on PYTHONPATH, jax's
+    # jax_plugins namespace-package discovery comes up empty and the
+    # remote-TPU backend fails to register (observed, reproducible);
+    # a late in-process sys.path insert is safe
     sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
     sys.exit(main())

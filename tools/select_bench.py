@@ -8,7 +8,7 @@ take_along_axis gather. This tool times all three at the production shape
 (N=7 candidates, 512x512, the 3 per-frame payloads fused in one jit like
 the tracker step does) on the v5e, interleaved in one process.
 
-Usage: PYTHONPATH=/root/repo python tools/select_bench.py
+Usage: python tools/select_bench.py
 """
 
 import json
@@ -79,8 +79,9 @@ def main():
 
 
 if __name__ == "__main__":
-    # NOT via PYTHONPATH: /root/repo on PYTHONPATH shadows a module
-    # the remote-TPU plugin imports at jax-init time and the backend
-    # fails to register; a late sys.path insert is safe
+    # NOT via PYTHONPATH: with /root/repo on PYTHONPATH, jax's
+    # jax_plugins namespace-package discovery comes up empty and the
+    # remote-TPU backend fails to register (observed, reproducible);
+    # a late in-process sys.path insert is safe
     sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
     sys.exit(main())

@@ -13,7 +13,7 @@ test_tracker_parity_e2e.py) but the full runner/protocol/eval stack
 (reference run_MFT_tapvid.py:86-316, eval_MFT_tapvid.py:69-141,
 tapvid_eval_stuff.py:82-237).
 
-Usage: PYTHONPATH=/root/repo python tools/tapvid_parity.py [--out report.md]
+Usage: python tools/tapvid_parity.py [--out report.md]
 The pytest wrapper lives in tests/test_tapvid_metric_parity.py.
 """
 

@@ -15,7 +15,7 @@ binarization flips (eval threshold 0.5, reference eval_MFT_tapvid.py:107)
 and selection-threshold flips (0.02, configs/MFT_cfg.py:16), tracked over
 time (drift = does the gap GROW with chain length?).
 
-Usage: PYTHONPATH=/root/repo python tools/tpu_drift.py [T] [SIZE] [WEIGHTS]
+Usage: python tools/tpu_drift.py [T] [SIZE] [WEIGHTS]
 (WEIGHTS: optional .msgpack/.pth checkpoint, e.g. the trained-like export of
 tools/train_synth.py; default random init)
 Exit code 1 if the drift bound is exceeded. Results recorded in
@@ -188,8 +188,9 @@ def main():
 
 
 if __name__ == "__main__":
-    # NOT via PYTHONPATH: /root/repo on PYTHONPATH shadows a module
-    # the remote-TPU plugin imports at jax-init time and the backend
-    # fails to register; a late sys.path insert is safe
+    # NOT via PYTHONPATH: with /root/repo on PYTHONPATH, jax's
+    # jax_plugins namespace-package discovery comes up empty and the
+    # remote-TPU backend fails to register (observed, reproducible);
+    # a late in-process sys.path insert is safe
     sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
     sys.exit(main())

@@ -12,7 +12,7 @@ host side in real runs.
 Prints one JSON line: steps/s, ms/step, and the projected wall-clock for the
 official 50k-step budget. Recorded in docs/TRAINING.md.
 
-Usage: PYTHONPATH=/root/repo python tools/train_bench.py [--steps 30]
+Usage: python tools/train_bench.py [--steps 30]
 """
 
 import argparse

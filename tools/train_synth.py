@@ -26,7 +26,7 @@ point at. SIGTERM saves and exits cleanly, so the run can be paused while
 the chip is needed for interactive A/B benches and resumed after.
 
 Usage:
-    PYTHONPATH=/root/repo python tools/train_synth.py \
+    python tools/train_synth.py \
         --steps 30000 --batch 8 --size 256 320 --out checkpoints/synth_run
 """
 

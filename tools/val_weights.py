@@ -12,7 +12,7 @@ accuracy > random + 10 points — the "beats random init by a wide,
 recorded margin" bar for the committed artifact. Results are recorded in
 docs/TRAINING.md.
 
-Usage: PYTHONPATH=/root/repo python tools/val_weights.py \
+Usage: python tools/val_weights.py \
            [--weights weights/raftou_synth.msgpack] [--n 24]
 """
 
