@@ -78,13 +78,16 @@ def make_tracker(schedule=None, raft_overrides=None, warm_start=False):
     return MFT(cfg)
 
 
-def measure(tracker, frames, n_warm, chunk, n_chunks):
+def measure(tracker, frames, n_warm, chunk, n_chunks, return_rates=False):
     """Pipelined per-frame throughput, median over chunks.
 
     The host upload of frame t+1 is issued right after dispatching frame t
     (double-buffered feed); the end-of-chunk fetch synchronizes the device
     queue, so the chunk must be long enough that the remote-tunnel
     completion-poll latency (~tens of ms, independent of work) amortizes.
+    ``return_rates=True`` returns the per-chunk rate list instead of the
+    median (tools/noise_bench.py — ONE timing loop for bench and noise
+    decomposition, so they cannot drift apart).
     """
     import jax.numpy as jnp
     to_dev = lambda f: jnp.asarray(np.ascontiguousarray(f[:, :, ::-1]))
@@ -107,6 +110,8 @@ def measure(tracker, frames, n_warm, chunk, n_chunks):
         np.asarray(meta.result.occlusion[:1, :1])
         rates.append(chunk / (time.perf_counter() - t0))
         pos += chunk
+    if return_rates:
+        return rates
     return float(np.median(rates))
 
 
@@ -197,16 +202,27 @@ def main():
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
     def finish():
-        """Re-emit the best session's headline last (tail-parse target)."""
+        """Re-emit the best session's headline last (tail-parse target).
+
+        The final line's parity/value/mfu numbers all come from the SAME
+        (best) session; fast/warm were only measured in the last session,
+        so they are carried under session-tagged keys rather than grafted
+        onto another session's headline fields.
+        """
         if best["parity_fps"] > out["parity_fps"]:
             final = dict(best)
-            for k in ("fast_fps", "fast_mode", "warm_fps", "warm_mode",
-                      "skipped"):
+            final["session_retries"] = retries  # total for the whole run
+            for k in ("fast_fps", "warm_fps"):
+                if k in out:
+                    final[k + "_last_session"] = out[k]
+            for k in ("fast_mode", "warm_mode", "skipped"):
                 if k in out:
                     final[k] = out[k]
             final["note"] = ("parity from the best of "
                              f"{retries + 1} sessions (degraded-session "
-                             "retry, see docs/PERFORMANCE.md noise section)")
+                             "retry, docs/PERFORMANCE.md noise section); "
+                             "fast/warm values are from the final session "
+                             "and inherit its degradation")
             emit(final)
 
     def room_for(estimate_s):

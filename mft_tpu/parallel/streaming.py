@@ -120,7 +120,11 @@ class StreamingTracker:
             inj_idx = tuple(sorted(injected))
             compute_idx = tuple(i for i, c in enumerate(cands)
                                 if c.valid and i not in injected)
-            inj_rows = tuple(injected[i] for i in inj_idx)
+            # shard host-provided rows over the clip axis like every other
+            # per-clip input (an unsharded numpy row would be replicated to
+            # every device by GSPMD — full payload per device per frame)
+            inj_rows = tuple(tuple(self._put(jnp.asarray(r)) for r in
+                                   injected[i]) for i in inj_idx)
             step = self._get_step_inject(compute_idx, inj_idx)
             (self.mem_imgs, self.mem_flow, self.mem_occl, self.mem_sigma,
              self.mem_fmap, self.mem_cnet,

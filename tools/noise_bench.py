@@ -38,39 +38,24 @@ def one_subprocess_run(repo, extra_env=None):
 
 
 def within_process_rates(n_chunks=8, chunk=32):
-    """Per-chunk frame rates inside one tracker session (one process)."""
+    """Per-chunk frame rates inside one tracker session (one process).
+
+    Reuses bench.measure's OWN timing loop (return_rates=True) so this
+    decomposition always measures exactly what bench.py measures.
+    """
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     import jax
     jax.config.update("jax_compilation_cache_dir", ".jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import bench
-    import jax.numpy as jnp
 
     H = W = int(os.environ.get("BENCH_SIZE", 512))
     rng = np.random.default_rng(0)
     n_warm = 4
     frames = [rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
               for _ in range(1 + n_warm + chunk * n_chunks)]
-    tracker = bench.make_tracker()
-    to_dev = lambda f: jnp.asarray(np.ascontiguousarray(f[:, :, ::-1]))
-    tracker.init(frames[0])
-    for f in frames[1:1 + n_warm]:
-        meta = tracker.track(f)
-    np.asarray(meta.result.occlusion[:1, :1])
-    rates = []
-    pos = 1 + n_warm
-    for _ in range(n_chunks):
-        nxt = to_dev(frames[pos])
-        t0 = time.perf_counter()
-        for k in range(chunk):
-            cur = nxt
-            if k + 1 < chunk:
-                nxt = to_dev(frames[pos + k + 1])
-            meta = tracker.track(cur)
-        np.asarray(meta.result.occlusion[:1, :1])
-        rates.append(chunk / (time.perf_counter() - t0))
-        pos += chunk
-    return rates
+    return bench.measure(bench.make_tracker(), frames, n_warm, chunk,
+                         n_chunks, return_rates=True)
 
 
 def main():

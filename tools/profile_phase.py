@@ -20,7 +20,6 @@ Prints an org-table of ms/frame per bucket + the top individual ops.
 
 import argparse
 import glob
-import gzip
 import json
 import os
 import re
@@ -160,7 +159,6 @@ def bucketize(rows, n_frames):
                           ("hlo_op_category", "category",
                            "framework_op_name", "hlo_op_name", "op_name",
                            "hlo_op_text", "op_expression"))
-        onchip = col(row, "on_the_device", "device") or True
         total_us += t
         top.append((t, name.strip()[:200]))
         for bname, pat in BUCKETS:

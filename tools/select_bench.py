@@ -79,9 +79,10 @@ def main():
 
 
 if __name__ == "__main__":
-    # NOT via PYTHONPATH: with /root/repo on PYTHONPATH, jax's
-    # jax_plugins namespace-package discovery comes up empty and the
-    # remote-TPU backend fails to register (observed, reproducible);
-    # a late in-process sys.path insert is safe
+    # NOT via PYTHONPATH from an interactive shell: with /root/repo on
+    # PYTHONPATH the remote-TPU backend can fail to register (observed
+    # repeatedly from shell launches; python-subprocess launches with the
+    # same value initialize fine — mechanism unresolved). A late
+    # in-process sys.path insert avoids the question entirely.
     sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
     sys.exit(main())

@@ -184,13 +184,6 @@ def make_shared_weights(path, seed=0, iters=4, occl_gain=1.0,
     sys.path.insert(0, REF) if REF not in sys.path else None
     from MFT.RAFT.core.raft import RAFT as TorchRAFT
 
-    class _Args(dict):
-        def __getattr__(self, k):
-            try:
-                return self[k]
-            except KeyError:
-                raise AttributeError(k)
-
     torch.manual_seed(seed)
     args = _Args(occlusion_module="separate_with_uncertainty", small=False,
                  mixed_precision=False)
@@ -421,13 +414,6 @@ def export_flax_weights(path, msgpack_path):
     from mft_tpu.models.raft.convert import variables_to_torch_statedict
     sys.path.insert(0, REF) if REF not in sys.path else None
     from MFT.RAFT.core.raft import RAFT as TorchRAFT
-
-    class _Args(dict):
-        def __getattr__(self, k):
-            try:
-                return self[k]
-            except KeyError:
-                raise AttributeError(k)
 
     template = TorchRAFT(_Args(occlusion_module="separate_with_uncertainty",
                                small=False,

@@ -164,12 +164,17 @@ class PrefetchBatches:
         self.stream = stream
         self.q = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
+        self._err = None
         self._th = threading.Thread(target=self._produce, daemon=True)
         self._th.start()
 
     def _produce(self):
         while not self._stop.is_set():
-            batch = self.stream.next_batch()
+            try:
+                batch = self.stream.next_batch()
+            except Exception as e:  # surface in the consumer, don't hang it
+                self._err = e
+                return
             while not self._stop.is_set():
                 try:
                     self.q.put(batch, timeout=0.5)
@@ -178,7 +183,17 @@ class PrefetchBatches:
                     continue
 
     def next_batch(self):
-        return self.q.get()
+        # bounded waits so a dead producer raises instead of blocking the
+        # trainer forever (the pre-prefetch behavior: crash loud, resume
+        # from the last checkpoint)
+        import queue
+        while True:
+            if self._err is not None:
+                raise RuntimeError("batch producer died") from self._err
+            try:
+                return self.q.get(timeout=5.0)
+            except queue.Empty:
+                continue
 
     def close(self):
         self._stop.set()
